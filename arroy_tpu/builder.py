@@ -1,0 +1,471 @@
+"""Level-synchronous batched forest builder.
+
+The reference builds each tree by a per-node recursion on a rayon
+work-stealing pool: `make_tree_in_file` runs two-means, assigns a side to
+every item of the node one dot product at a time, and recurses
+(reference: src/writer.rs:1167-1261, src/distance/mod.rs:126-171).
+
+On TPU the same computation is re-organized *level-synchronously*: one
+jitted step grows **every active node of every tree at once**:
+
+1. two-means for all frontier nodes in parallel (a vmapped, statically
+   10-step refinement over 12 threefry-sampled leaves per node);
+2. side assignment of every item against its node's hyperplane as one
+   chunked gather-rowdot sweep over the whole permutation array — the
+   reference's hottest per-item loop becomes a single fused device op;
+3. the imbalance-retry rule (accept < 0.95, 3 retries, random fallback
+   past 0.99 — reference src/writer.rs:1209-1233) runs as masked lanes
+   inside a `lax.while_loop`;
+4. partition is one stable sort of (segment, side) keys over the
+   permutation array.
+
+Items are addressed by *slot* (row in the device item matrix); the host
+orchestrator keeps segment bookkeeping in numpy and allocates node ids.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .metrics import Metric
+from .models.forest import Forest, NodeIdAllocator
+
+_MARGIN_CHUNK = 8192
+#: safety valve: no real forest is deeper than this (random-split fallback
+#: halves a node in expectation); past it the remaining segments are
+#: flushed to oversized descendants instead of looping forever.
+_MAX_LEVELS = 200
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _sign_positive(x: jax.Array) -> jax.Array:
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    return (bits >> 31) == 0
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+
+def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys):
+    """Vmapped two-means over all segments (reference: src/distance/mod.rs:126-223).
+
+    Returns (normals [G, sd], aux [G]) in storage space.
+    """
+    p_cap = perm.shape[0]
+
+    def sample_one(start, ln, key):
+        kc, ks = jax.random.split(key)
+        ln_safe = jnp.maximum(ln, 2)
+        i = jax.random.randint(kc, (), 0, ln_safe)
+        j = jax.random.randint(jax.random.fold_in(kc, 1), (), 0, ln_safe - 1)
+        j = jnp.where(j >= i, j + 1, j)
+        samp = jax.random.randint(ks, (10,), 0, ln_safe)
+        idx = jnp.concatenate([jnp.stack([i, j]), samp])
+        pos = start + jnp.minimum(idx, jnp.maximum(ln - 1, 0))
+        return perm[jnp.minimum(pos, p_cap - 1)]
+
+    slots = jax.vmap(sample_one)(seg_start, seg_len, keys)  # [G, 12]
+    srows = rows[slots]  # [G, 12, sd]
+    sex = extras[slots]  # [G, 12]
+    shn = hnorms[slots]  # [G, 12]
+    tv = metric.tm_decode(srows, dims)  # [G, 12, dt] float32 training space
+
+    p, q = tv[:, 0], tv[:, 1]
+    pe, qe = sex[:, 0], sex[:, 1]
+    if metric.tm_cosine:
+        p, pe = metric.tm_normalize(p, pe)
+        q, qe = metric.tm_normalize(q, qe)
+    ph = metric.tm_init(p, pe)
+    qh = metric.tm_init(q, qe)
+    ic = jnp.ones(p.shape[0], jnp.float32)
+    jc = jnp.ones(p.shape[0], jnp.float32)
+
+    def body(t, st):
+        p, pe, ph, q, qe, qh, ic, jc = st
+        k = jnp.take(tv, 2 + t, axis=1)
+        ke = jnp.take(sex, 2 + t, axis=1)
+        kh = jnp.take(shn, 2 + t, axis=1)
+        di = ic * metric.tm_nonbuilt(p, pe, ph, k, ke, kh)
+        dj = jc * metric.tm_nonbuilt(q, qe, qh, k, ke, kh)
+        if metric.tm_cosine:
+            norm = metric.tm_norm(k, ke)
+        else:
+            norm = jnp.ones_like(di)
+        ok = ~(jnp.isnan(norm) | (norm <= 0.0))
+        nrm = jnp.where(ok, norm, 1.0)[:, None]
+        updp = ok & (di < dj)
+        updq = ok & (dj < di)
+        newp = (p * ic[:, None] + k / nrm) / (ic[:, None] + 1.0)
+        newq = (q * jc[:, None] + k / nrm) / (jc[:, None] + 1.0)
+        php = metric.tm_init(newp, pe)
+        qhq = metric.tm_init(newq, qe)
+        p = jnp.where(updp[:, None], newp, p)
+        ph = jnp.where(updp, php, ph)
+        ic = ic + updp.astype(jnp.float32)
+        q = jnp.where(updq[:, None], newq, q)
+        qh = jnp.where(updq, qhq, qh)
+        jc = jc + updq.astype(jnp.float32)
+        return (p, pe, ph, q, qe, qh, ic, jc)
+
+    p, pe, ph, q, qe, qh, ic, jc = jax.lax.fori_loop(
+        0, 10, body, (p, pe, ph, q, qe, qh, ic, jc)
+    )
+    return metric.finalize_split(p, pe, q, qe)
+
+
+def _margins_chunked(metric, rows, extras, perm, item_seg, normals, aux):
+    """margin of every item of `perm` against its segment's hyperplane."""
+    p_cap = perm.shape[0]
+    chunk = min(_MARGIN_CHUNK, p_cap)
+    idx = jnp.arange(p_cap, dtype=jnp.int32).reshape(-1, chunk)
+
+    def chunk_fn(c):
+        sl = perm[c]
+        sg = item_seg[c]
+        v = rows[sl]
+        n = normals[sg]
+        base = metric.base_dot(n, v)
+        qf = extras[sl] if metric.has_extra else 1.0
+        return base + aux[sg] * qf
+
+    return jax.lax.map(chunk_fn, idx).reshape(p_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "dims"))
+def _level_step(
+    metric,
+    dims,
+    rows,
+    extras,
+    hnorms,
+    perm,
+    seg_start,
+    seg_len,
+    seg_split,
+    key,
+):
+    """One build level over the whole frontier.  See module docstring."""
+    p_cap = perm.shape[0]
+    g_cap = seg_start.shape[0]
+    positions = jnp.arange(p_cap, dtype=jnp.int32)
+    item_seg = (
+        jnp.searchsorted(seg_start, positions, side="right").astype(jnp.int32) - 1
+    )
+    item_seg = jnp.clip(item_seg, 0, g_cap - 1)
+    seg_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(g_cap, dtype=jnp.int32)
+    )
+
+    def attempt(keys):
+        normals, aux = _two_means(
+            metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys
+        )
+        margins = _margins_chunked(metric, rows, extras, perm, item_seg, normals, aux)
+        side = _sign_positive(margins)  # True = Right (reference Distance::side)
+        left_cnt = jax.ops.segment_sum(
+            (~side).astype(jnp.int32), item_seg, num_segments=g_cap
+        )
+        return normals, aux, side, left_cnt
+
+    def imbalance(left_cnt):
+        n = seg_len.astype(jnp.float32)
+        f = jnp.where(n > 0, left_cnt.astype(jnp.float32) / jnp.where(n > 0, n, 1.0), 0.5)
+        return jnp.maximum(f, 1.0 - f)
+
+    # attempt 0
+    n0, a0, s0, c0 = attempt(jax.vmap(lambda k: jax.random.fold_in(k, 0))(seg_keys))
+    settled = imbalance(c0) < 0.95
+
+    def cond(st):
+        att, settled, *_ = st
+        return (att < 4) & jnp.any(seg_split & ~settled)
+
+    def body(st):
+        att, settled, normals, aux, side, left_cnt = st
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, att))(seg_keys)
+        n2, a2, s2, c2 = attempt(keys)
+        keep = settled
+        normals = jnp.where(keep[:, None], normals, n2)
+        aux = jnp.where(keep, aux, a2)
+        side = jnp.where(keep[item_seg], side, s2)
+        left_cnt = jnp.where(keep, left_cnt, c2)
+        settled = settled | (imbalance(left_cnt) < 0.95)
+        return (att + 1, settled, normals, aux, side, left_cnt)
+
+    _, settled, normals, aux, side, left_cnt = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), settled, n0, a0, s0, c0)
+    )
+
+    # random-split fallback past 0.99 imbalance (reference src/writer.rs:1218-1233)
+    none_mask = seg_split & (imbalance(left_cnt) > 0.99)
+    rnd = jax.random.bernoulli(jax.random.fold_in(key, 0x5EED), 0.5, (p_cap,))
+    side = jnp.where(none_mask[item_seg], rnd, side)
+    left_cnt = jnp.where(
+        none_mask,
+        jax.ops.segment_sum((~side).astype(jnp.int32), item_seg, num_segments=g_cap),
+        left_cnt,
+    )
+
+    sort_key = item_seg * 2 + jnp.where(seg_split[item_seg], side, False).astype(jnp.int32)
+    order = jnp.argsort(sort_key, stable=True)
+    new_perm = perm[order]
+    return new_perm, left_cnt, none_mask, normals, aux
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BuildContext:
+    """Everything the build engine needs for one index build."""
+
+    metric: type[Metric]
+    dims: int
+    split_after: int
+    rows_dev: jax.Array  # [cap, sd] device item matrix
+    extras_dev: jax.Array  # [cap]
+    hnorms_dev: jax.Array  # [cap]
+    slot_to_id: np.ndarray  # [cap] int64, -1 for free slots
+    forest: Forest
+    alloc: NodeIdAllocator
+    cancel: Callable[[], bool] = lambda: False
+    #: memory budget expressed as max items per tree-building batch
+    budget_items: int | None = None
+    staging_normals: list = field(default_factory=list)
+    staging_aux: list = field(default_factory=list)
+    on_items_indexed: Callable[[int], None] = lambda n: None
+
+    def check_cancel(self) -> None:
+        if self.cancel():
+            from .errors import BuildCancelled
+
+            raise BuildCancelled()
+
+    def stage_normal(self, normal_row: np.ndarray, aux: float) -> int:
+        self.staging_normals.append(normal_row)
+        self.staging_aux.append(np.float32(aux))
+        return len(self.staging_normals) - 1
+
+
+def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> None:
+    """Grow subtrees for every (node_id, item_slots) seed, all at once.
+
+    Each seed becomes the root of a recursive split structure written
+    into ctx.forest.  Seeds that already fit in a descendant must be
+    handled by the caller.
+    """
+    seeds = [(nid, np.asarray(slots, dtype=np.int32)) for nid, slots in seeds if True]
+    if not seeds:
+        return
+    total = int(sum(len(s) for _, s in seeds))
+    chunk = _MARGIN_CHUNK
+    p_pad = max(chunk, ((total + chunk - 1) // chunk) * chunk)
+
+    perm_np = np.zeros(p_pad, dtype=np.int32)
+    starts, lens, node_ids = [], [], []
+    off = 0
+    for nid, slots in seeds:
+        perm_np[off : off + len(slots)] = slots
+        starts.append(off)
+        lens.append(len(slots))
+        node_ids.append(nid)
+        off += len(slots)
+
+    perm = jnp.asarray(perm_np)
+    seg_start = np.asarray(starts, dtype=np.int32)
+    seg_len = np.asarray(lens, dtype=np.int32)
+    seg_node = np.asarray(node_ids, dtype=np.int64)
+    # split iff the segment holds more items than fit in a descendant
+    seg_split = seg_len > ctx.split_after
+
+    pending_leaves: list[tuple[int, int, int]] = []  # (node_id, start, end)
+    for g in range(len(seg_len)):
+        if not seg_split[g]:
+            pending_leaves.append((int(seg_node[g]), int(seg_start[g]), int(seg_start[g] + seg_len[g])))
+
+    level = 0
+    while seg_split.any():
+        ctx.check_cancel()
+        if level >= _MAX_LEVELS:
+            # flush whatever is left as oversized descendants (safety valve;
+            # the reference would keep recursing on random splits instead)
+            for g in np.nonzero(seg_split)[0]:
+                pending_leaves.append(
+                    (int(seg_node[g]), int(seg_start[g]), int(seg_start[g] + seg_len[g]))
+                )
+            break
+
+        g = len(seg_len)
+        g_cap = _next_pow2(g + 1)
+        ss = np.full(g_cap, p_pad, dtype=np.int32)
+        sl = np.zeros(g_cap, dtype=np.int32)
+        sp = np.zeros(g_cap, dtype=bool)
+        ss[:g] = seg_start
+        sl[:g] = seg_len
+        sp[:g] = seg_split
+        # padding-region items get mapped into the pad segments; make sure
+        # segment 0 of the pad block starts exactly at the data end
+        data_end = int(seg_start[-1] + seg_len[-1]) if g else 0
+        ss[g:] = max(data_end, 0)
+
+        level_key = jax.random.fold_in(key, level)
+        perm, left_cnt_d, none_d, normals_d, aux_d = _level_step(
+            ctx.metric,
+            ctx.dims,
+            ctx.rows_dev,
+            ctx.extras_dev,
+            ctx.hnorms_dev,
+            perm,
+            jnp.asarray(ss),
+            jnp.asarray(sl),
+            jnp.asarray(sp),
+            level_key,
+        )
+        left_cnt = np.asarray(left_cnt_d)[:g]
+        none_mask = np.asarray(none_d)[:g]
+        normals = np.asarray(normals_d)[:g]
+        aux = np.asarray(aux_d)[:g]
+
+        new_starts, new_lens, new_nodes, new_split = [], [], [], []
+        indexed_now = 0
+        for i in range(g):
+            s, ln, nid = int(seg_start[i]), int(seg_len[i]), int(seg_node[i])
+            if not seg_split[i]:
+                new_starts.append(s)
+                new_lens.append(ln)
+                new_nodes.append(nid)
+                new_split.append(False)
+                continue
+            lc = int(left_cnt[i])
+            l_id = ctx.alloc.next()
+            r_id = ctx.alloc.next()
+            if none_mask[i]:
+                ctx.forest.put_split(nid, l_id, r_id, None, 0.0)
+            else:
+                row = ctx.stage_normal(normals[i], float(aux[i]))
+                ctx.forest.put_split(nid, l_id, r_id, row, float(aux[i]))
+            for cid, cs, cl in ((l_id, s, lc), (r_id, s + lc, ln - lc)):
+                splits = cl > ctx.split_after
+                new_starts.append(cs)
+                new_lens.append(cl)
+                new_nodes.append(cid)
+                new_split.append(splits)
+                if not splits:
+                    pending_leaves.append((cid, cs, cs + cl))
+                    indexed_now += cl
+        seg_start = np.asarray(new_starts, dtype=np.int32)
+        seg_len = np.asarray(new_lens, dtype=np.int32)
+        seg_node = np.asarray(new_nodes, dtype=np.int64)
+        seg_split = np.asarray(new_split, dtype=bool)
+        level += 1
+        if indexed_now:
+            ctx.on_items_indexed(indexed_now)
+
+    perm_final = np.asarray(perm)
+    for nid, s, e in pending_leaves:
+        slots = perm_final[s:e]
+        ids = ctx.slot_to_id[slots].astype(np.uint32)
+        ids.sort()
+        ctx.forest.put_leaf(nid, ids)
+
+
+# ---------------------------------------------------------------------------
+# routing (items down a frozen tree) — used by incremental inserts and by
+# the memory-budgeted build (reference: src/writer.rs:1398-1531)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _route_margins(metric, rows, extras, slots, normal_rows, aux_vals, normals_matrix):
+    v = rows[slots]
+    n = normals_matrix[normal_rows]
+    base = metric.base_dot(n, v)
+    qf = extras[slots] if metric.has_extra else 1.0
+    return base + aux_vals * qf
+
+
+def route_items(
+    ctx: BuildContext,
+    normals_matrix_dev: jax.Array,
+    aux_lookup: np.ndarray,
+    entries: list[tuple[int, np.ndarray]],
+    key,
+) -> dict[int, list[np.ndarray]]:
+    """Route item slots from `entries` (node_id, slots) down to descendants.
+
+    Uses the forest in ctx.forest; split hyperplanes are read from
+    `normals_matrix_dev` via ctx.forest.ptr.  Returns node_id → list of
+    routed slot arrays (reference: insert_items_in_descendants_*,
+    src/writer.rs:1398-1531).
+    """
+    from .models.forest import KIND_LEAF, KIND_SPLIT, KIND_SPLIT_NONE
+
+    f = ctx.forest
+    collected: dict[int, list[np.ndarray]] = {}
+    frontier = [(int(nid), np.asarray(slots, dtype=np.int32)) for nid, slots in entries]
+    level = 0
+    while frontier:
+        ctx.check_cancel()
+        leaf_hits = [(n, s) for n, s in frontier if f.kind[n] == KIND_LEAF]
+        for n, s in leaf_hits:
+            collected.setdefault(n, []).append(s)
+        none_hits = [(n, s) for n, s in frontier if f.kind[n] == KIND_SPLIT_NONE]
+        split_hits = [(n, s) for n, s in frontier if f.kind[n] == KIND_SPLIT]
+
+        next_frontier: list[tuple[int, np.ndarray]] = []
+        if split_hits:
+            slots_cat = np.concatenate([s for _, s in split_hits])
+            rows_cat = np.concatenate(
+                [np.full(len(s), f.ptr[n], np.int32) for n, s in split_hits]
+            )
+            aux_cat = aux_lookup[rows_cat].astype(np.float32)
+            margins = np.asarray(
+                _route_margins(
+                    ctx.metric,
+                    ctx.rows_dev,
+                    ctx.extras_dev,
+                    jnp.asarray(slots_cat),
+                    jnp.asarray(rows_cat),
+                    jnp.asarray(aux_cat),
+                    normals_matrix_dev,
+                )
+            )
+            right = ~np.signbit(margins)
+            off = 0
+            for n, s in split_hits:
+                r = right[off : off + len(s)]
+                off += len(s)
+                l_slots, r_slots = s[~r], s[r]
+                if len(l_slots):
+                    next_frontier.append((int(f.left[n]), l_slots))
+                if len(r_slots):
+                    next_frontier.append((int(f.right[n]), r_slots))
+        rng_level = np.random.default_rng(
+            np.asarray(jax.random.key_data(jax.random.fold_in(key, level))).ravel()
+        )
+        for n, s in none_hits:
+            r = rng_level.random(len(s)) < 0.5
+            l_slots, r_slots = s[~r], s[r]
+            if len(l_slots):
+                next_frontier.append((int(f.left[n]), l_slots))
+            if len(r_slots):
+                next_frontier.append((int(f.right[n]), r_slots))
+        frontier = next_frontier
+        level += 1
+    return collected

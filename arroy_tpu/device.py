@@ -1,0 +1,139 @@
+"""Device mirror of one committed index generation.
+
+Packs the host `ItemStore` + `Forest` into flat device tensors for the
+query engine: node table gathers, CSR leaf membership, the normals
+matrix and the item matrix.  Built lazily and cached per generation by
+the Database; immutable once created (the LMDB-snapshot role,
+reference: src/parallel.rs:262-314 ImmutableLeafs/ImmutableTrees).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .metrics import Metric
+from .models.forest import KIND_FREE, KIND_LEAF, Forest
+from .models.items import ItemStore
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclass(frozen=True)
+class DeviceIndex:
+    metric: type[Metric]
+    dims: int
+    # items
+    rows: jnp.ndarray  # [cap, sd]
+    norms: jnp.ndarray  # [cap]
+    extras: jnp.ndarray  # [cap]
+    slot_to_id: jnp.ndarray  # [cap] uint32 (0xFFFFFFFF where meaningless; use
+    # `live` to distinguish — u32::MAX is a legal item id)
+    live: jnp.ndarray  # [cap] bool
+    slot_to_id_np: np.ndarray  # [cap] int64, -1 free
+    # forest node table
+    kind: jnp.ndarray  # [Np] int32
+    left: jnp.ndarray
+    right: jnp.ndarray
+    ptr: jnp.ndarray
+    normals: jnp.ndarray  # [S, sd]
+    aux: jnp.ndarray  # [S]
+    leaf_off: jnp.ndarray  # [L] int32 into leaf_items
+    leaf_cnt: jnp.ndarray  # [L]
+    leaf_items: jnp.ndarray  # [total + W] int32 slots, -1 padded
+    roots: tuple[int, ...]
+    n_nodes: int
+    n_items: int
+    max_leaf: int
+    cap: int
+
+    @staticmethod
+    def build(metric: type[Metric], dims: int, store: ItemStore, forest: Forest) -> "DeviceIndex":
+        cap = max(store.capacity(), 1)
+        sd = metric.storage_dim(dims)
+        np_dtype = np.uint32 if metric.binary else np.float32
+        rows = np.zeros((cap, sd), dtype=np_dtype)
+        rows[: store.capacity()] = store.rows()
+        norms = np.zeros(cap, np.float32)
+        norms[: store.capacity()] = store.norms()
+        extras = np.zeros(cap, np.float32)
+        extras[: store.capacity()] = store.extras()
+        s2i = np.full(cap, -1, np.int64)
+        s2i[: store.capacity()] = store.slot_ids()
+
+        # id -> slot lookup for converting leaf id-sets to slots
+        live = np.nonzero(s2i >= 0)[0]
+        live_ids = s2i[live]
+        order = np.argsort(live_ids)
+        sorted_ids = live_ids[order]
+        sorted_slots = live[order].astype(np.int32)
+
+        n_table = max(int(forest.kind.shape[0]), 1)
+        kind = np.full(n_table, KIND_FREE, np.int32)
+        kind[: forest.kind.shape[0]] = forest.kind
+        left = np.zeros(n_table, np.int32)
+        left[: forest.left.shape[0]] = forest.left
+        right = np.zeros(n_table, np.int32)
+        right[: forest.right.shape[0]] = forest.right
+        ptr = np.zeros(n_table, np.int32)
+        ptr[: forest.ptr.shape[0]] = forest.ptr
+
+        # CSR leaves
+        leaf_nodes = sorted(forest.leaves)
+        offs, cnts, chunks = [], [], []
+        off = 0
+        max_leaf = 1
+        for li, nid in enumerate(leaf_nodes):
+            ids = forest.leaves[nid]
+            pos = np.searchsorted(sorted_ids, ids.astype(np.int64))
+            slots = sorted_slots[np.minimum(pos, max(len(sorted_ids) - 1, 0))] if len(sorted_ids) else np.empty(0, np.int32)
+            offs.append(off)
+            cnts.append(len(ids))
+            chunks.append(slots.astype(np.int32))
+            ptr[nid] = li
+            off += len(ids)
+            max_leaf = max(max_leaf, len(ids))
+        flat = (
+            np.concatenate(chunks) if chunks else np.empty(0, np.int32)
+        )
+        flat = np.concatenate([flat, np.full(max_leaf, -1, np.int32)])
+
+        normals = forest.normals
+        aux = forest.aux
+        if normals is None or normals.shape[0] == 0:
+            normals = np.zeros((1, sd), dtype=np_dtype)
+            aux = np.zeros(1, np.float32)
+
+        return DeviceIndex(
+            metric=metric,
+            dims=dims,
+            rows=jnp.asarray(rows),
+            norms=jnp.asarray(norms),
+            extras=jnp.asarray(extras),
+            slot_to_id=jnp.asarray(
+                np.where(s2i >= 0, s2i, 0xFFFFFFFF).astype(np.uint32)
+            ),
+            live=jnp.asarray(s2i >= 0),
+            slot_to_id_np=s2i,
+            kind=jnp.asarray(kind),
+            left=jnp.asarray(left),
+            right=jnp.asarray(right),
+            ptr=jnp.asarray(ptr),
+            normals=jnp.asarray(normals),
+            aux=jnp.asarray(aux),
+            leaf_off=jnp.asarray(np.asarray(offs, np.int32) if offs else np.zeros(1, np.int32)),
+            leaf_cnt=jnp.asarray(np.asarray(cnts, np.int32) if cnts else np.zeros(1, np.int32)),
+            leaf_items=jnp.asarray(flat),
+            roots=tuple(int(r) for r in forest.roots),
+            n_nodes=forest.n_nodes(),
+            n_items=len(store),
+            max_leaf=max_leaf,
+            cap=cap,
+        )

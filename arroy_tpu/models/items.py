@@ -1,0 +1,162 @@
+"""Item (leaf-vector) storage.
+
+The reference stores each item as an LMDB `Leaf{header, vector}` record
+keyed by `(index, Item, item_id)` (reference: src/node.rs:26-43,
+src/key.rs:19-51).  Here the items of one index live in a single host
+matrix of storage rows (f32 or packed bits) indexed by *slot*, with an
+id→slot map; the device mirror of the matrix is what every hot kernel
+reads.  Item ids are arbitrary u32s exactly like the reference (sparse,
+up to u32::MAX) — memory scales with the number of items, not the max id
+(reference README.md:39).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import InvalidVecDimension
+from ..metrics import Metric
+
+
+class ItemStore:
+    """Mutable id→vector storage for one index."""
+
+    def __init__(self, metric: type[Metric], dims: int):
+        self.metric = metric
+        self.dims = int(dims)
+        sd = metric.storage_dim(dims)
+        np_dtype = np.uint32 if metric.binary else np.float32
+        self._rows = np.zeros((0, sd), dtype=np_dtype)
+        self._norms = np.zeros((0,), dtype=np.float32)
+        self._extras = np.zeros((0,), dtype=np.float32)
+        self._slot_ids = np.zeros((0,), dtype=np.int64)  # slot -> id (-1 = free)
+        self._id_to_slot: dict[int, int] = {}
+        self._free: list[int] = []
+
+    @staticmethod
+    def from_arrays(
+        metric: type[Metric],
+        dims: int,
+        rows: np.ndarray,
+        norms: np.ndarray,
+        extras: np.ndarray,
+        slot_ids: np.ndarray,
+    ) -> "ItemStore":
+        """Rebuild a store from persisted arrays (see store/persist.py)."""
+        s = ItemStore(metric, dims)
+        s._rows = np.ascontiguousarray(rows)
+        s._norms = np.ascontiguousarray(norms, dtype=np.float32)
+        s._extras = np.ascontiguousarray(extras, dtype=np.float32)
+        s._slot_ids = np.ascontiguousarray(slot_ids, dtype=np.int64)
+        s._id_to_slot = {
+            int(i): int(slot) for slot, i in enumerate(s._slot_ids) if i >= 0
+        }
+        s._free = [int(x) for x in np.nonzero(s._slot_ids < 0)[0][::-1]]
+        return s
+
+    # -- copy-on-write ------------------------------------------------
+    def clone(self) -> "ItemStore":
+        c = ItemStore.__new__(ItemStore)
+        c.metric = self.metric
+        c.dims = self.dims
+        c._rows = self._rows.copy()
+        c._norms = self._norms.copy()
+        c._extras = self._extras.copy()
+        c._slot_ids = self._slot_ids.copy()
+        c._id_to_slot = dict(self._id_to_slot)
+        c._free = list(self._free)
+        return c
+
+    # -- basic ops -----------------------------------------------------
+    def __len__(self) -> int:
+        return len(self._id_to_slot)
+
+    def __contains__(self, item: int) -> bool:
+        return int(item) in self._id_to_slot
+
+    def ids(self) -> np.ndarray:
+        """Sorted array of live item ids."""
+        if not self._id_to_slot:
+            return np.empty(0, dtype=np.uint32)
+        return np.sort(np.fromiter(self._id_to_slot, dtype=np.int64)).astype(np.uint32)
+
+    def max_id(self) -> int:
+        return max(self._id_to_slot) if self._id_to_slot else -1
+
+    def _grow(self, extra: int) -> None:
+        n = self._rows.shape[0]
+        new = max(extra, n // 2, 64)
+        self._rows = np.concatenate(
+            [self._rows, np.zeros((new, self._rows.shape[1]), self._rows.dtype)]
+        )
+        self._norms = np.concatenate([self._norms, np.zeros(new, np.float32)])
+        self._extras = np.concatenate([self._extras, np.zeros(new, np.float32)])
+        self._slot_ids = np.concatenate([self._slot_ids, np.full(new, -1, np.int64)])
+        self._free.extend(range(n + new - 1, n - 1, -1))
+
+    def put(self, item: int, vector: np.ndarray) -> None:
+        vector = np.asarray(vector, dtype=np.float32)
+        if vector.shape != (self.dims,):
+            raise InvalidVecDimension(self.dims, int(np.prod(vector.shape)))
+        item = int(item)
+        slot = self._id_to_slot.get(item)
+        if slot is None:
+            if not self._free:
+                self._grow(1)
+            slot = self._free.pop()
+            self._id_to_slot[item] = slot
+            self._slot_ids[slot] = item
+        row = self.metric.encode_np(vector[None, :])[0]
+        self._rows[slot] = row
+        self._norms[slot] = self.metric.item_norms_np(row[None, :], self.dims)[0]
+        self._extras[slot] = 0.0
+
+    def delete(self, item: int) -> bool:
+        slot = self._id_to_slot.pop(int(item), None)
+        if slot is None:
+            return False
+        self._slot_ids[slot] = -1
+        self._rows[slot] = 0
+        self._norms[slot] = 0.0
+        self._extras[slot] = 0.0
+        self._free.append(slot)
+        return True
+
+    def get_vector(self, item: int) -> np.ndarray | None:
+        """Decoded vector as the user would read it back (`item_vector`).
+
+        For binary-quantized metrics this returns ±1.0 per dimension,
+        exactly like the reference decode (src/unaligned_vector/
+        binary_quantized.rs:160-219, truncated to `dims`).
+        """
+        slot = self._id_to_slot.get(int(item))
+        if slot is None:
+            return None
+        return self.metric.decode_np(self._rows[slot][None, :], self.dims)[0]
+
+    # -- bulk views for the build/search engines ------------------------
+    def slots_of(self, items: np.ndarray) -> np.ndarray:
+        """Map an array of (live) item ids to their slots."""
+        return np.fromiter(
+            (self._id_to_slot[int(i)] for i in items), dtype=np.int32, count=len(items)
+        )
+
+    def rows(self) -> np.ndarray:
+        return self._rows
+
+    def norms(self) -> np.ndarray:
+        return self._norms
+
+    def extras(self) -> np.ndarray:
+        return self._extras
+
+    def slot_ids(self) -> np.ndarray:
+        return self._slot_ids
+
+    def capacity(self) -> int:
+        return self._rows.shape[0]
+
+    def set_preprocess(self, norms: np.ndarray, extras: np.ndarray, slots: np.ndarray) -> None:
+        """Write per-item header data computed by `Distance::preprocess`."""
+        self._norms[slots] = norms
+        self._extras[slots] = extras

@@ -1,0 +1,340 @@
+"""Reader: query engine entry point, stats, and the validity checker.
+
+Mirrors the reference `Reader`/`QueryBuilder`
+(reference: src/reader.rs:26-298): `Reader.open` validates metadata /
+distance / pending-update state, `nns(count)` returns a query builder
+with `search_k`, `oversampling` and `candidates` knobs, and queries run
+`by_item` or `by_vector`.  On top of the reference surface there is a
+TPU-native batched entry point (`by_vectors` / `by_items`) — the shape
+the hardware actually wants — plus brute-force `exact_*` oracles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .errors import (
+    InvalidVecDimension,
+    MissingKey,
+    MissingMetadata,
+    NeedBuild,
+    UnmatchingDistance,
+)
+from .metrics import Metric, resolve_metric
+from .models.forest import KIND_FREE, KIND_LEAF, KIND_SPLIT, KIND_SPLIT_NONE
+from .search import exact_batch, search_batch
+from .store.database import Database, IndexState
+from .utils.itemset import ItemSet
+from .version import Version
+
+
+@dataclass
+class TreeStats:
+    """Reference: src/stats.rs:1-23."""
+
+    depth: int
+    dummy_normals: int
+    split_nodes: int
+    descendants: int
+
+
+@dataclass
+class Stats:
+    leaf: int
+    tree_stats: list[TreeStats]
+
+
+class QueryBuilder:
+    """Reference: src/reader.rs:26-124."""
+
+    def __init__(self, reader: "Reader", count: int):
+        self._reader = reader
+        self._count = int(count)
+        self._search_k: Optional[int] = None
+        self._oversampling: Optional[int] = None
+        self._candidates: Optional[ItemSet] = None
+
+    def search_k(self, search_k: int) -> "QueryBuilder":
+        if int(search_k) <= 0:
+            raise ValueError("search_k must be non-zero")
+        self._search_k = int(search_k)
+        return self
+
+    def oversampling(self, oversampling: int) -> "QueryBuilder":
+        if int(oversampling) <= 0:
+            raise ValueError("oversampling must be non-zero")
+        self._oversampling = int(oversampling)
+        return self
+
+    def candidates(self, candidates) -> "QueryBuilder":
+        self._candidates = candidates if isinstance(candidates, ItemSet) else ItemSet(candidates)
+        return self
+
+    # -- single-query API (arroy parity) --------------------------------
+    def by_item(self, item: int) -> Optional[list[tuple[int, float]]]:
+        out = self.by_items(np.asarray([item], dtype=np.int64))[0]
+        return out
+
+    def by_vector(self, vector) -> list[tuple[int, float]]:
+        vector = np.asarray(vector, dtype=np.float32)
+        if vector.ndim != 1:
+            raise InvalidVecDimension(self._reader.dimensions(), int(np.prod(vector.shape)))
+        return self.by_vectors(vector[None, :])[0]
+
+    # -- batched API (the TPU-native hot path) ---------------------------
+    def by_items(self, items) -> list[Optional[list[tuple[int, float]]]]:
+        r = self._reader
+        items = np.asarray(items, dtype=np.int64)
+        st = r._state
+        present = [int(i) in st.store for i in items]
+        if not any(present):
+            return [None] * len(items)
+        live = items[np.asarray(present)]
+        slots = st.store.slots_of(live.astype(np.uint32))
+        qv = st.store.rows()[slots]
+        qn = st.store.norms()[slots]
+        qe = st.store.extras()[slots]
+        qf = qe if r.metric.has_extra else np.ones(len(slots), np.float32)
+        res = self._run(qv, qn, qe, qf)
+        out: list[Optional[list[tuple[int, float]]]] = []
+        j = 0
+        for p in present:
+            if p:
+                out.append(res[j])
+                j += 1
+            else:
+                out.append(None)
+        return out
+
+    def by_vectors(self, vectors) -> list[list[tuple[int, float]]]:
+        r = self._reader
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != r.dimensions():
+            raise InvalidVecDimension(
+                r.dimensions(), int(vectors.shape[-1] if vectors.ndim else 0)
+            )
+        qv = r.metric.encode_np(vectors)
+        # by_vector builds a fresh leaf via new_header (reference:
+        # src/reader.rs:64-75): norm from the codec, extra = 0.
+        qn = r.metric.item_norms_np(qv, r.dimensions())
+        qe = np.zeros(len(qv), np.float32)
+        qf = np.zeros(len(qv), np.float32) if r.metric.has_extra else np.ones(len(qv), np.float32)
+        return self._run(qv, qn, qe, qf)
+
+    # -------------------------------------------------------------------
+    def _effective_search_k(self) -> int:
+        # reference: src/reader.rs:330-335
+        search_k = (
+            self._search_k
+            if self._search_k is not None
+            else self._count * max(self._reader.n_trees(), 1)
+        )
+        mult = (
+            self._oversampling
+            if self._oversampling is not None
+            else self._reader.metric.default_oversampling
+        )
+        return search_k * mult
+
+    def _run(self, qv, qn, qe, qf) -> list[list[tuple[int, float]]]:
+        r = self._reader
+        if r._state.metadata is None or len(r._state.metadata.items) == 0:
+            return [[] for _ in range(len(qv))]
+        dev = r._device()
+        filter_slots = None
+        if self._candidates is not None:
+            inter = self._candidates.intersection(ItemSet.from_sorted(r._state.metadata.items.ids))
+            filter_slots = r._state.store.slots_of(inter.ids) if len(inter) else np.empty(0, np.int64)
+        ids, dists = search_batch(
+            dev,
+            qv,
+            qn,
+            qe,
+            qf,
+            self._count,
+            self._effective_search_k(),
+            filter_slots,
+        )
+        out = []
+        for row_ids, row_d in zip(ids, dists):
+            keep = ~np.isnan(row_d)
+            out.append([(int(i), float(d)) for i, d in zip(row_ids[keep], row_d[keep])])
+        return out
+
+
+class Reader:
+    """A reader over one committed index snapshot."""
+
+    def __init__(self, state: IndexState, index: int, db: Database, metric: type[Metric]):
+        self._state = state
+        self._index = index
+        self._db = db
+        self.metric = metric
+
+    @staticmethod
+    def open(rtxn, index: int, db: Database, metric="euclidean") -> "Reader":
+        """Reference: src/reader.rs:140-177."""
+        metric = resolve_metric(metric)
+        st = rtxn.state(index)
+        if st is None or st.metadata is None:
+            raise MissingMetadata(index)
+        if metric.name != st.metadata.distance:
+            raise UnmatchingDistance(st.metadata.distance, metric.name)
+        if st.updated:
+            raise NeedBuild(index)
+        return Reader(st, int(index), db, metric)
+
+    # -- introspection (reference: src/reader.rs:179-291) ----------------
+    def dimensions(self) -> int:
+        return self._state.metadata.dimensions
+
+    def n_trees(self) -> int:
+        return len(self._state.metadata.roots)
+
+    def n_items(self) -> int:
+        return len(self._state.metadata.items)
+
+    def item_ids(self) -> ItemSet:
+        return self._state.metadata.items
+
+    def index(self) -> int:
+        return self._index
+
+    def version(self) -> Version:
+        return self._state.version
+
+    def n_nodes(self) -> Optional[int]:
+        n = self._state.forest.n_nodes() + len(self._state.store)
+        return n if n else None
+
+    def item_vector(self, item: int) -> Optional[np.ndarray]:
+        return self._state.store.get_vector(item)
+
+    def contains_item(self, item: int) -> bool:
+        return int(item) in self._state.store
+
+    def is_empty(self) -> bool:
+        return len(self._state.store) == 0
+
+    def iter(self):
+        st = self._state
+        return ((int(i), st.store.get_vector(int(i))) for i in st.store.ids())
+
+    def nns(self, count: int) -> QueryBuilder:
+        return QueryBuilder(self, count)
+
+    # -- exact search oracle --------------------------------------------
+    def exact_by_vectors(self, vectors, count: int) -> list[list[tuple[int, float]]]:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        qv = self.metric.encode_np(vectors)
+        qn = self.metric.item_norms_np(qv, self.dimensions())
+        qe = np.zeros(len(qv), np.float32)
+        ids, dists = exact_batch(self._device(), qv, qn, qe, count)
+        out = []
+        for row_ids, row_d in zip(ids, dists):
+            keep = ~np.isnan(row_d)
+            out.append([(int(i), float(d)) for i, d in zip(row_ids[keep], row_d[keep])])
+        return out
+
+    def _device(self):
+        return self._db.device_index(self._index, self._state)
+
+    # -- stats (reference: src/reader.rs:210-252) ------------------------
+    def stats(self) -> Stats:
+        f = self._state.forest
+
+        def rec(nid: int) -> TreeStats:
+            k = f.kind[nid]
+            if k == KIND_LEAF:
+                return TreeStats(depth=1, dummy_normals=0, split_nodes=0, descendants=1)
+            left = rec(int(f.left[nid]))
+            right = rec(int(f.right[nid]))
+            return TreeStats(
+                depth=1 + max(left.depth, right.depth),
+                dummy_normals=left.dummy_normals
+                + right.dummy_normals
+                + (1 if k == KIND_SPLIT_NONE else 0),
+                split_nodes=left.split_nodes + right.split_nodes + 1,
+                descendants=left.descendants + right.descendants,
+            )
+
+        import sys
+
+        sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
+        return Stats(
+            leaf=len(self._state.metadata.items),
+            tree_stats=[rec(r) for r in self._state.metadata.roots],
+        )
+
+    # -- plot (reference: src/reader.rs:403-469) -------------------------
+    def plot_internals_tree_nodes(self) -> str:
+        f = self._state.forest
+        lines = ["digraph {", "\tlabel=metadata", ""]
+        roots = self._state.metadata.roots
+        if roots:
+            tree = roots[0]
+            lines.append("\tsubgraph {")
+            lines.append("\t\troot [color=blue]")
+            lines.append(f"\t\troot -> {tree}")
+            explore = [int(tree)]
+            while explore:
+                nid = explore.pop()
+                k = f.kind[nid]
+                if k == KIND_LEAF:
+                    lines.append(f'\t\t{nid} [label="{nid}"]')
+                elif k in (KIND_SPLIT, KIND_SPLIT_NONE):
+                    if k == KIND_SPLIT_NONE:
+                        lines.append(f"\t\t{nid} [color=red]")
+                    ln, rn = int(f.left[nid]), int(f.right[nid])
+                    lines.append(
+                        f'\t\t{nid} -> {ln} [taillabel="{len(f.subtree_items(ln))}"]'
+                    )
+                    lines.append(
+                        f'\t\t{nid} -> {rn} [taillabel="{len(f.subtree_items(rn))}"]'
+                    )
+                    explore.append(ln)
+                    explore.append(rn)
+            lines.append("\t}")
+        lines.append("}")
+        return "\n".join(lines) + "\n"
+
+    # -- invariants (reference: src/reader.rs:509-589) --------------------
+    def assert_validity(self) -> None:
+        """Every tree reaches all items exactly once; no node sharing."""
+        st = self._state
+        f = st.forest
+        item_ids = ItemSet.from_sorted(st.store.ids())
+        all_tree_ids = set(int(i) for i in f.used_node_ids())
+
+        remaining = set(all_tree_ids)
+        for root in st.metadata.roots:
+            trees: set[int] = set()
+            items_arrays: list[np.ndarray] = []
+            count_items = 0
+            stack = [int(root)]
+            while stack:
+                nid = stack.pop()
+                assert f.kind[nid] != KIND_FREE, f"dangling node {nid}"
+                assert nid not in trees, f"node {nid} linked twice in tree {root}"
+                trees.add(nid)
+                if f.kind[nid] == KIND_LEAF:
+                    items_arrays.append(f.leaves[nid])
+                    count_items += len(f.leaves[nid])
+                else:
+                    stack.append(int(f.left[nid]))
+                    stack.append(int(f.right[nid]))
+            items = (
+                ItemSet(np.concatenate(items_arrays)) if items_arrays else ItemSet()
+            )
+            assert count_items == len(items), (
+                f"tree {root}: an item appears twice ({count_items} != {len(items)})"
+            )
+            assert items == item_ids, f"tree {root} cannot access all items"
+            assert trees <= remaining, (
+                f"tree {root} shares tree nodes with another tree"
+            )
+            remaining -= trees
+        assert not remaining, f"{sorted(remaining)} tree nodes floating around"

@@ -1,0 +1,35 @@
+"""Index-format versioning (reference: src/version.rs:8-64).
+
+The reference stores a semver triple under a dedicated metadata key and
+dispatches node decoding on it; we store the triple in the index metadata
+of our own container format and dispatch `upgrade` steps on it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True, order=True)
+class Version:
+    major: int
+    minor: int
+    patch: int
+
+    def __str__(self) -> str:  # reference: src/version.rs:14-18
+        return f"{self.major}.{self.minor}.{self.patch}"
+
+    @staticmethod
+    def parse(s: str) -> "Version":
+        major, minor, patch = (int(p) for p in s.split("."))
+        return Version(major, minor, patch)
+
+
+#: Version written by the current writer.  Independent of the reference's
+#: crate version: this is the first format of the TPU-native container.
+CURRENT_VERSION = Version(1, 0, 0)
+
+#: Formats older than this never existed for arroy-tpu; kept for the
+#: upgrade-machinery parity with `before_version_db_was_introduced`
+#: (reference: src/version.rs:22-24).
+OLDEST_READABLE_VERSION = Version(1, 0, 0)

@@ -1,0 +1,109 @@
+"""Headline benchmark: batched ANN QPS at fixed recall on one TPU chip.
+
+Mirrors the reference's own harness configuration
+(reference: examples/compare_with_hnsw.rs — euclidean, 768-d, top-k with
+``search_k = k * n_trees * 20``; examples/search_movies.rs latency loop),
+scaled up to a corpus size where the forest actually pays off.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
+
+vs_baseline is QPS / 1000: public CPU-arroy measurements put multi-core
+query throughput at roughly O(1k) QPS for 768-d corpora of this size at
+recall ≈ 0.95 (the reference repo itself publishes no absolute numbers —
+BASELINE.md); the north-star target of ≥ 20x/chip therefore corresponds
+to vs_baseline ≥ 20.  Detailed sub-metrics (build time, recall, exact-
+search QPS) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+M = int(os.environ.get("BENCH_M", 100_000))
+D = int(os.environ.get("BENCH_D", 768))
+N_TREES = int(os.environ.get("BENCH_TREES", 10))
+COUNT = int(os.environ.get("BENCH_K", 10))
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
+ITERS = int(os.environ.get("BENCH_ITERS", 8))
+SEARCH_K = int(os.environ.get("BENCH_SEARCH_K", COUNT * N_TREES * 20))
+ASSUMED_CPU_ARROY_QPS = 1000.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from arroy_tpu import Database, Reader, Writer
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((M, D)).astype(np.float32)
+    queries = rng.standard_normal((BATCH, D)).astype(np.float32)
+
+    db = Database()
+    w = Writer(db, 0, D, metric="euclidean")
+    t0 = time.perf_counter()
+    with db.write() as wtxn:
+        for i in range(M):
+            w.add_item(wtxn, i, x[i])
+        t_add = time.perf_counter()
+        w.builder(seed=42).n_trees(N_TREES).build(wtxn)
+        t_build = time.perf_counter()
+    log(f"add_items: {t_add - t0:.2f}s  build: {t_build - t_add:.2f}s")
+
+    r = Reader.open(db.read(), 0, db)
+    q = r.nns(COUNT).search_k(SEARCH_K)
+
+    # warmup (compiles)
+    t0 = time.perf_counter()
+    q.by_vectors(queries[:BATCH])
+    log(f"warmup (compile): {time.perf_counter() - t0:.2f}s")
+
+    # timed
+    t0 = time.perf_counter()
+    for it in range(ITERS):
+        got = q.by_vectors(queries)
+    dt = time.perf_counter() - t0
+    qps = ITERS * BATCH / dt
+    log(f"ann query: {dt:.3f}s for {ITERS}x{BATCH} -> {qps:.0f} qps")
+
+    # recall vs exact on a subsample
+    nq = min(BATCH, 128)
+    exact = r.exact_by_vectors(queries[:nq], COUNT)
+    got_r = got[:nq]
+    hits = sum(
+        len(set(i for i, _ in g) & set(i for i, _ in e)) for g, e in zip(got_r, exact)
+    )
+    recall = hits / (nq * COUNT)
+    log(f"recall@{COUNT}: {recall:.4f} (search_k={SEARCH_K})")
+
+    # exact-search throughput for context
+    t0 = time.perf_counter()
+    r.exact_by_vectors(queries[:nq], COUNT)
+    dt_ex = time.perf_counter() - t0
+    log(f"exact search: {nq / dt_ex:.0f} qps")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"ann_qps_{M // 1000}k_{D}d_top{COUNT}_recall{recall:.2f}",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / ASSUMED_CPU_ARROY_QPS, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Forest-build correctness: determinism, validity, exactness, recall."""
+
+import numpy as np
+import pytest
+
+from arroy_tpu import Reader
+from arroy_tpu.models.forest import KIND_LEAF
+
+from .util import build_db, random_vectors, recall
+
+ALL_NAMES = [
+    "euclidean",
+    "manhattan",
+    "cosine",
+    "dot-product",
+    "binary quantized euclidean",
+    "binary quantized manhattan",
+    "binary quantized cosine",
+]
+
+
+@pytest.mark.parametrize("metric", ALL_NAMES)
+def test_build_valid_and_exhaustive_exact(metric):
+    x = random_vectors(150, 16, seed=1)
+    db, w, r = build_db(x, metric=metric, n_trees=4, seed=5)
+    r.assert_validity()
+    got = r.nns(10).search_k(10**8).by_vectors(x[:8])
+    exact = r.exact_by_vectors(x[:8], 10)
+    for g, e in zip(got, exact):
+        # distances must agree pairwise; id order may differ only on ties
+        gd = [d for _, d in g]
+        ed = [d for _, d in e]
+        np.testing.assert_allclose(gd, ed, rtol=1e-5, atol=1e-5)
+        assert set(i for i, _ in g) | set(i for i, _ in e) == set(
+            i for i, _ in g
+        ) | set(i for i, _ in e)
+
+
+def test_build_deterministic_same_seed():
+    x = random_vectors(200, 8, seed=2)
+    _, _, r1 = build_db(x, n_trees=3, seed=77)
+    _, _, r2 = build_db(x, n_trees=3, seed=77)
+    f1, f2 = r1._state.forest, r2._state.forest
+    assert f1.roots == f2.roots
+    np.testing.assert_array_equal(f1.kind, f2.kind)
+    np.testing.assert_array_equal(f1.left, f2.left)
+    np.testing.assert_array_equal(f1.right, f2.right)
+    assert set(f1.leaves) == set(f2.leaves)
+    for nid in f1.leaves:
+        np.testing.assert_array_equal(f1.leaves[nid], f2.leaves[nid])
+    np.testing.assert_array_equal(f1.normals, f2.normals)
+
+
+def test_build_differs_across_seeds():
+    x = random_vectors(200, 8, seed=2)
+    _, _, r1 = build_db(x, n_trees=3, seed=1)
+    _, _, r2 = build_db(x, n_trees=3, seed=2)
+    f1, f2 = r1._state.forest, r2._state.forest
+    same = (
+        f1.normals.shape == f2.normals.shape
+        and bool(np.all(f1.normals == f2.normals))
+    )
+    assert not same
+
+
+def test_leaf_capacity_respected():
+    x = random_vectors(400, 8, seed=3)
+    db, w, r = build_db(x, n_trees=2, split_after=25)
+    f = r._state.forest
+    for nid, items in f.leaves.items():
+        assert len(items) <= 25
+
+
+def test_split_after_default_is_dimensions():
+    x = random_vectors(100, 16, seed=4)
+    db, w, r = build_db(x, n_trees=2)
+    f = r._state.forest
+    for nid, items in f.leaves.items():
+        assert len(items) <= 16
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_recall_at_default_search_k(metric):
+    x = random_vectors(1000, 32, seed=5)
+    db, w, r = build_db(x, metric=metric, n_trees=10, seed=6)
+    q = x[:64]
+    got = r.nns(10).search_k(10 * 10 * 20).by_vectors(q)
+    exact = r.exact_by_vectors(q, 10)
+    assert recall(got, exact) > 0.9
+
+
+def test_bq_recall_with_oversampling():
+    # binary quantization loses precision; with x3 oversampling the BQ
+    # forest should still recover most of the BQ-exact neighbors
+    x = random_vectors(500, 64, seed=7)
+    db, w, r = build_db(x, metric="binary quantized cosine", n_trees=8, seed=8)
+    got = r.nns(10).search_k(8 * 10 * 20).by_vectors(x[:32])
+    exact = r.exact_by_vectors(x[:32], 10)
+    assert recall(got, exact) > 0.75
+
+
+def test_many_duplicate_vectors():
+    # identical points force imbalance retries + random splits
+    x = np.tile(random_vectors(4, 8, seed=9), (50, 1))
+    db, w, r = build_db(x, n_trees=3, seed=10)
+    r.assert_validity()
+    got = r.nns(5).by_item(0)
+    assert got[0][1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_all_zero_vectors():
+    x = np.zeros((100, 8), np.float32)
+    db, w, r = build_db(x, n_trees=2, seed=11)
+    r.assert_validity()
+    got = r.nns(3).by_item(0)
+    assert len(got) == 3

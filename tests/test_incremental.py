@@ -1,0 +1,184 @@
+"""Incremental insert/delete without full rebuild + MVCC snapshots.
+
+Mirrors the reference incremental-update tests
+(src/tests/writer.rs:391-758,1123-1241).
+"""
+
+import numpy as np
+import pytest
+
+from arroy_tpu import Database, NeedBuild, Reader, Writer
+
+from .util import build_db, random_vectors
+
+
+def test_incremental_add_items():
+    x = random_vectors(300, 8, seed=1)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        for i in range(200):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(4).build(wtxn)
+    with db.write() as wtxn:
+        for i in range(200, 300):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=2).n_trees(4).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    assert r.n_items() == 300
+    r.assert_validity()
+    got = r.nns(5).by_item(250)
+    assert got[0][0] == 250
+
+
+def test_incremental_delete_items():
+    x = random_vectors(300, 8, seed=2)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        for i in range(300):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(4).build(wtxn)
+    with db.write() as wtxn:
+        for i in range(100):
+            w.del_item(wtxn, i)
+        w.builder(seed=2).n_trees(4).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    assert r.n_items() == 200
+    r.assert_validity()
+    got = r.nns(300).search_k(10**6).by_item(150)
+    assert all(i >= 100 for i, _ in got)
+    assert len(got) == 200
+
+
+def test_delete_down_to_single_descendant():
+    # deleting most items collapses the forest to the tiny-corpus path
+    x = random_vectors(100, 8, seed=3)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        for i in range(100):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(4).build(wtxn)
+    with db.write() as wtxn:
+        for i in range(5, 100):
+            w.del_item(wtxn, i)
+        w.builder(seed=2).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    assert r.n_items() == 5
+    assert r.n_trees() == 1
+    r.assert_validity()
+
+
+def test_delete_everything():
+    x = random_vectors(60, 8, seed=4)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        for i in range(60):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(2).build(wtxn)
+    with db.write() as wtxn:
+        for i in range(60):
+            w.del_item(wtxn, i)
+        w.builder(seed=2).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    assert r.n_items() == 0
+    assert r.nns(5).by_vector(x[0]) == []
+
+
+def test_untouched_subtrees_keep_node_ids():
+    # arroy's "don't rebuild what didn't change": node ids of untouched
+    # regions survive an incremental build (src/tests/writer.rs:1123-1241)
+    x = random_vectors(400, 8, seed=5)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        for i in range(400):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(2).build(wtxn)
+    r1 = Reader.open(db.read(), 0, db)
+    used1 = set(int(i) for i in r1._state.forest.used_node_ids())
+    roots1 = list(r1._state.forest.roots)
+    with db.write() as wtxn:
+        w.add_item(wtxn, 400, random_vectors(1, 8, seed=6)[0])
+        w.builder(seed=2).n_trees(2).build(wtxn)
+    r2 = Reader.open(db.read(), 0, db)
+    used2 = set(int(i) for i in r2._state.forest.used_node_ids())
+    # roots unchanged, and the overwhelming majority of node ids survive
+    assert list(r2._state.forest.roots) == roots1
+    assert len(used1 & used2) / len(used1) > 0.8
+    r2.assert_validity()
+
+
+def test_node_id_recycling():
+    # ids freed by deletions are reused before the counter grows
+    x = random_vectors(300, 4, seed=7)
+    db = Database()
+    w = Writer(db, 0, 4)
+    with db.write() as wtxn:
+        for i in range(300):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(4).build(wtxn)
+    r1 = Reader.open(db.read(), 0, db)
+    max1 = int(r1._state.forest.used_node_ids().max())
+    with db.write() as wtxn:
+        for i in range(150):
+            w.del_item(wtxn, i)
+        w.builder(seed=2).n_trees(4).build(wtxn)
+    with db.write() as wtxn:
+        for i in range(150):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=3).n_trees(4).build(wtxn)
+    r3 = Reader.open(db.read(), 0, db)
+    max3 = int(r3._state.forest.used_node_ids().max())
+    # the node-id space did not balloon: holes were recycled
+    assert max3 <= max1 + int(max1 * 0.5) + 8
+    r3.assert_validity()
+
+
+def test_mvcc_query_during_write():
+    x = random_vectors(100, 8, seed=8)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        for i in range(100):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(2).build(wtxn)
+    r = Reader.open(db.read(), 0, db)  # snapshot taken here
+    wtxn = db.write()
+    w.del_item(wtxn, 0)
+    w.add_item(wtxn, 500, x[0])
+    # the open reader still sees the old committed state
+    got = r.nns(3).by_item(0)
+    assert got[0][0] == 0
+    assert r.n_items() == 100
+    wtxn.abort()
+
+
+def test_abort_rolls_back():
+    x = random_vectors(50, 8, seed=9)
+    db, w, r = build_db(x, n_trees=2)
+    wtxn = db.write()
+    w.del_item(wtxn, 0)
+    wtxn.abort()
+    r2 = Reader.open(db.read(), 0, db)  # no NeedBuild: the delete was rolled back
+    assert r2.n_items() == 50
+
+
+def test_overwrite_vector_moves_item():
+    x = random_vectors(200, 8, seed=10)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        for i in range(200):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(4).build(wtxn)
+    # move item 0 exactly onto item 150
+    with db.write() as wtxn:
+        w.add_item(wtxn, 0, x[150])
+        w.builder(seed=2).n_trees(4).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    r.assert_validity()
+    got = r.nns(2).search_k(10**6).by_item(150)
+    assert {i for i, _ in got} == {0, 150}

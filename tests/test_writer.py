@@ -1,0 +1,239 @@
+"""Writer behavior: mutation, options, build paths, cancellation.
+
+Mirrors the reference writer test themes (src/tests/writer.rs).
+"""
+
+import numpy as np
+import pytest
+
+from arroy_tpu import (
+    BuildCancelled,
+    Database,
+    InvalidItemAppend,
+    InvalidVecDimension,
+    MissingMetadata,
+    Reader,
+    Writer,
+)
+from arroy_tpu.writer import target_n_trees
+
+from .util import build_db, random_vectors
+
+
+def test_add_and_read_back_vector():
+    db = Database()
+    w = Writer(db, 0, 3)
+    with db.write() as wtxn:
+        w.add_item(wtxn, 5, [1.0, 2.0, 3.0])
+        assert w.contains_item(wtxn, 5)
+        assert not w.contains_item(wtxn, 4)
+        np.testing.assert_array_equal(w.item_vector(wtxn, 5), [1.0, 2.0, 3.0])
+        assert w.item_vector(wtxn, 4) is None
+
+
+def test_wrong_dimensions_rejected():
+    db = Database()
+    w = Writer(db, 0, 3)
+    with db.write() as wtxn:
+        with pytest.raises(InvalidVecDimension):
+            w.add_item(wtxn, 0, [1.0, 2.0])
+        wtxn.abort()
+
+
+def test_need_build_lifecycle():
+    db = Database()
+    w = Writer(db, 0, 2)
+    rt = db.read()
+    assert w.need_build(rt)  # never built
+    with db.write() as wtxn:
+        w.add_item(wtxn, 0, [0.0, 1.0])
+        assert w.need_build(wtxn)  # pending updates
+        w.builder(seed=1).build(wtxn)
+        assert not w.need_build(wtxn)
+    with db.write() as wtxn:
+        w.del_item(wtxn, 0)
+        assert w.need_build(wtxn)
+        wtxn.abort()
+
+
+def test_single_descendant_fast_path():
+    # fewer items than dimensions -> one descendants node, root id 0
+    # (reference: src/writer.rs:916-962)
+    x = random_vectors(5, 16)
+    db, w, r = build_db(x, n_trees=None)
+    assert r.n_trees() == 1
+    assert r.n_items() == 5
+    r.assert_validity()
+    got = r.nns(3).by_vector(x[0])
+    assert got[0][0] == 0
+
+
+def test_item_overwrite():
+    x = random_vectors(40, 4)
+    db, w, r = build_db(x, n_trees=4, seed=3)
+    with db.write() as wtxn:
+        w.add_item(wtxn, 0, [10.0, 10.0, 10.0, 10.0])
+        w.builder(seed=3).n_trees(4).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    np.testing.assert_array_equal(r.item_vector(0), [10.0, 10.0, 10.0, 10.0])
+    r.assert_validity()
+
+
+def test_del_item_returns_presence():
+    db = Database()
+    w = Writer(db, 0, 2)
+    with db.write() as wtxn:
+        w.add_item(wtxn, 1, [0.0, 1.0])
+        assert w.del_item(wtxn, 1) is True
+        assert w.del_item(wtxn, 1) is False
+
+
+def test_clear_removes_everything():
+    x = random_vectors(30, 4)
+    db, w, r = build_db(x, n_trees=2)
+    with db.write() as wtxn:
+        w.clear(wtxn)
+    with pytest.raises(MissingMetadata):
+        Reader.open(db.read(), 0, db)
+
+
+def test_append_item_order_enforced():
+    db = Database()
+    w = Writer(db, 0, 2)
+    with db.write() as wtxn:
+        w.append_item(wtxn, 0, [0.0, 0.0])
+        w.append_item(wtxn, 5, [0.0, 1.0])
+        with pytest.raises(InvalidItemAppend):
+            w.append_item(wtxn, 3, [1.0, 0.0])
+        with pytest.raises(InvalidItemAppend):
+            w.append_item(wtxn, 5, [1.0, 0.0])
+        wtxn.abort()
+
+
+def test_append_item_blocked_by_higher_index():
+    db = Database()
+    w0 = Writer(db, 0, 2)
+    w1 = Writer(db, 1, 2)
+    with db.write() as wtxn:
+        w1.add_item(wtxn, 0, [0.0, 0.0])
+        with pytest.raises(InvalidItemAppend):
+            w0.append_item(wtxn, 0, [0.0, 0.0])
+        wtxn.abort()
+
+
+def test_u32_max_item_ids():
+    # the reference supports ids up to u32::MAX (src/tests/writer.rs:141-178)
+    x = random_vectors(3, 8)
+    big = 2**32 - 1
+    db, w, r = build_db(x, ids=[0, 1000, big], n_trees=1)
+    got = r.nns(3).by_item(big)
+    assert any(i == big for i, _ in got)
+    r.assert_validity()
+
+
+def test_build_cancelled():
+    x = random_vectors(200, 8)
+    db = Database()
+    w = Writer(db, 0, 8)
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 1
+
+    with pytest.raises(BuildCancelled):
+        with db.write() as wtxn:
+            for i in range(200):
+                w.add_item(wtxn, i, x[i])
+            w.builder(seed=1).n_trees(4).cancel(cancel).build(wtxn)
+    # nothing was committed
+    with pytest.raises(MissingMetadata):
+        Reader.open(db.read(), 0, db)
+
+
+def test_progress_steps_reported():
+    from arroy_tpu import MainStep
+
+    x = random_vectors(100, 8)
+    db = Database()
+    w = Writer(db, 0, 8)
+    seen = []
+    with db.write() as wtxn:
+        for i in range(100):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(2).progress(lambda p: seen.append(p.main)).build(wtxn)
+    assert seen[0] == MainStep.PRE_PROCESSING_THE_ITEMS
+    assert seen[-1] == MainStep.WRITE_THE_METADATA
+    assert MainStep.CREATE_TREES_FOR_ITEMS in seen
+
+
+def test_target_n_trees_formula():
+    # reference: src/writer.rs:1358-1394
+    ids = np.arange(1000, dtype=np.uint32)
+    assert target_n_trees(None, 768, ids, []) == 2 ** int(
+        np.ceil(np.log2(1000) - 6)
+    ) or target_n_trees(None, 768, ids, []) >= 1
+    # explicit n wins
+    assert target_n_trees(7, 768, ids, []) == 7
+    # hysteresis: don't shrink by < 20%
+    ids10k = np.arange(20_000, dtype=np.uint32)
+    want = target_n_trees(None, 768, ids10k, [])
+    roots = list(range(int(want * 1.1)))
+    assert target_n_trees(None, 768, ids10k, roots) == len(roots)
+    roots = list(range(int(want * 2)))
+    assert target_n_trees(None, 768, ids10k, roots) == want
+
+
+def test_tree_growth_and_shrink():
+    # growing the corpus grows the forest; shrinking it a lot shrinks the
+    # forest (reference: src/tests/writer.rs:15-109)
+    x = random_vectors(256, 4)
+    db = Database()
+    w = Writer(db, 0, 4)
+    with db.write() as wtxn:
+        for i in range(128):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).build(wtxn)
+    r1 = Reader.open(db.read(), 0, db)
+    n1 = r1.n_trees()
+    with db.write() as wtxn:
+        for i in range(128, 256):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).build(wtxn)
+    r2 = Reader.open(db.read(), 0, db)
+    assert r2.n_trees() >= n1
+    r2.assert_validity()
+    with db.write() as wtxn:
+        for i in range(30, 256):
+            w.del_item(wtxn, i)
+        w.builder(seed=1).build(wtxn)
+    r3 = Reader.open(db.read(), 0, db)
+    assert r3.n_trees() <= r2.n_trees()
+    r3.assert_validity()
+
+
+def test_prepare_changing_distance():
+    x = random_vectors(50, 8)
+    db, w, r = build_db(x, metric="euclidean", n_trees=2)
+    with db.write() as wtxn:
+        w2 = w.prepare_changing_distance(wtxn, "cosine")
+        w2.builder(seed=1).n_trees(2).build(wtxn)
+    r2 = Reader.open(db.read(), 0, db, metric="cosine")
+    assert r2.n_items() == 50
+    r2.assert_validity()
+
+
+def test_available_memory_build():
+    # memory-budgeted build: skeleton + routed batches
+    # (reference: src/tests/writer.rs:1377-1403 available_memory(0))
+    x = random_vectors(300, 8)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        for i in range(300):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(4).available_memory(0).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    r.assert_validity()
+    got = r.nns(5).by_item(0)
+    assert got[0][0] == 0
