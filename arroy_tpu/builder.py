@@ -275,7 +275,8 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         return
     total = int(sum(len(s) for _, s in seeds))
     chunk = _MARGIN_CHUNK
-    p_pad = max(chunk, ((total + chunk - 1) // chunk) * chunk)
+    # pow2 bucket: successive builds with similar sizes reuse compiled shapes
+    p_pad = max(chunk, _next_pow2(total))
 
     perm_np = np.zeros(p_pad, dtype=np.int32)
     starts, lens, node_ids = [], [], []
@@ -299,6 +300,13 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         if not seg_split[g]:
             pending_leaves.append((int(seg_node[g]), int(seg_start[g]), int(seg_start[g] + seg_len[g])))
 
+    # Pre-size the segment axis for the whole build: the frontier list at any
+    # level holds every node created so far (finished segments stay in the
+    # list to keep sort keys monotone), which is bounded by the final node
+    # count ~ 4 * items/split_after.  One size -> one XLA compile for every
+    # level of every tree.
+    g_cap_hint = _next_pow2(8 * total // max(ctx.split_after, 1) + len(seeds) + 64)
+
     level = 0
     while seg_split.any():
         ctx.check_cancel()
@@ -312,7 +320,8 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             break
 
         g = len(seg_len)
-        g_cap = _next_pow2(g + 1)
+        # bucket the segment axis so successive levels reuse compiled shapes
+        g_cap = max(256, g_cap_hint, _next_pow2(g + 1))
         ss = np.full(g_cap, p_pad, dtype=np.int32)
         sl = np.zeros(g_cap, dtype=np.int32)
         sp = np.zeros(g_cap, dtype=bool)
@@ -435,17 +444,26 @@ def route_items(
                 [np.full(len(s), f.ptr[n], np.int32) for n, s in split_hits]
             )
             aux_cat = aux_lookup[rows_cat].astype(np.float32)
+            # pad to a pow2 bucket so levels share compiled shapes
+            n_real = len(slots_cat)
+            n_pad = max(256, _next_pow2(n_real))
+            slots_p = np.zeros(n_pad, np.int32)
+            slots_p[:n_real] = slots_cat
+            rows_p = np.zeros(n_pad, np.int32)
+            rows_p[:n_real] = rows_cat
+            aux_p = np.zeros(n_pad, np.float32)
+            aux_p[:n_real] = aux_cat
             margins = np.asarray(
                 _route_margins(
                     ctx.metric,
                     ctx.rows_dev,
                     ctx.extras_dev,
-                    jnp.asarray(slots_cat),
-                    jnp.asarray(rows_cat),
-                    jnp.asarray(aux_cat),
+                    jnp.asarray(slots_p),
+                    jnp.asarray(rows_p),
+                    jnp.asarray(aux_p),
                     normals_matrix_dev,
                 )
-            )
+            )[:n_real]
             right = ~np.signbit(margins)
             off = 0
             for n, s in split_hits:

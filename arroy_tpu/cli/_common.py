@@ -35,6 +35,8 @@ def read_vectors(path: str | None, dims: int | None = None):
             rows.append([float(p) for p in line.split()])
     if fh is not sys.stdin:
         fh.close()
+    if not rows:
+        raise SystemExit("no vectors in input")
     x = np.asarray(rows, dtype=np.float32)
     if dims is not None and x.shape[1] != dims:
         raise SystemExit(f"expected {dims} dims, got {x.shape[1]}")

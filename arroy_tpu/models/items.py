@@ -111,6 +111,32 @@ class ItemStore:
         self._norms[slot] = self.metric.item_norms_np(row[None, :], self.dims)[0]
         self._extras[slot] = 0.0
 
+    def put_many(self, items: np.ndarray, vectors: np.ndarray) -> None:
+        """Vectorized bulk insert/overwrite (no reference equivalent —
+        the TPU-native ingestion path; add_item loops are Python-bound)."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        items = np.asarray(items, dtype=np.int64)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dims:
+            raise InvalidVecDimension(self.dims, int(vectors.shape[-1]))
+        if len(items) != len(vectors):
+            raise ValueError("items and vectors length mismatch")
+        rows = self.metric.encode_np(vectors)
+        norms = self.metric.item_norms_np(rows, self.dims)
+        slots = np.empty(len(items), np.int64)
+        for j, item in enumerate(items):
+            item = int(item)
+            slot = self._id_to_slot.get(item)
+            if slot is None:
+                if not self._free:
+                    self._grow(len(items) - j)
+                slot = self._free.pop()
+                self._id_to_slot[item] = slot
+                self._slot_ids[slot] = item
+            slots[j] = slot
+        self._rows[slots] = rows
+        self._norms[slots] = norms
+        self._extras[slots] = 0.0
+
     def delete(self, item: int) -> bool:
         slot = self._id_to_slot.pop(int(item), None)
         if slot is None:

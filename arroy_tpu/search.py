@@ -6,12 +6,17 @@ root at +inf, descends split planes pushing children at
 items are collected, then re-scores candidates exactly and keeps the
 top-k (reference: src/reader.rs:317-401).
 
-Here the same priority queue lives in fixed-shape device arrays inside a
-`lax.while_loop`, vmapped over a batch of queries: argmax-pop (with the
-max-heap's (dist, node-id) tie order), gather of the split row, one fused
-margin, and CSR window appends for descendants.  Re-scoring is one
-batched gather + distance + `lax.top_k`, replacing `median_based_top_k`
-(reference: src/reader.rs:607-640).
+Here the same computation is two jitted device stages, vmapped over a
+query batch:
+
+1. **traverse** — the priority queue lives in fixed-shape arrays inside
+   a `lax.while_loop`: argmax-pop (with the max-heap's (dist, node-id)
+   tie order), one fused margin per split pop, and a cumsum-scatter
+   append of CSR leaf windows for descendant pops (no per-pop sort).
+2. **rescore** — one batched gather+distance sweep over the candidate
+   buffers, chunked along the candidate axis to bound the gather
+   temporary, then dedup by id and `lax.top_k` (replacing
+   `median_based_top_k`, reference: src/reader.rs:607-640).
 
 Traversal deviates from the reference in exactly one way: a pop budget
 (`pmax`) bounds the loop for XLA's static shapes.  The budget is set
@@ -32,6 +37,8 @@ from .device import DeviceIndex
 from .models.forest import KIND_LEAF, KIND_SPLIT_NONE
 
 _INF = jnp.float32(jnp.inf)
+#: candidate-axis chunk for the re-score gather ([B, chunk, d] temporary)
+_RESCORE_CHUNK = 512
 
 
 def _next_pow2(n: int) -> int:
@@ -48,23 +55,21 @@ def pops_budget(idx: DeviceIndex, search_k: int, exhaustive: bool) -> int:
     return min(idx.n_nodes + t, 2 * t + 2 * search_k + 64)
 
 
+# ---------------------------------------------------------------------------
+# stage 1: traversal
+# ---------------------------------------------------------------------------
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "dims", "search_k", "k", "pmax", "w", "has_filter"),
+    static_argnames=("metric", "search_k", "pmax", "w", "has_filter"),
 )
-def _search_batch(
+def _traverse_batch(
     metric,
-    dims,
     search_k,
-    k,
     pmax,
     w,
     has_filter,
-    # index arrays
-    rows,
-    norms,
-    extras,
-    slot_to_id,
     kind,
     left,
     right,
@@ -75,22 +80,17 @@ def _search_batch(
     leaf_cnt,
     leaf_items,
     roots,
-    # queries
     qv,
-    qn,
-    qe,
     qf,
     filter_words,
     search_k_dyn,
 ):
-    # `search_k` (static) sizes the buffers; `search_k_dyn` (traced, <= the
-    # static bucket) is the exact stopping threshold so results match the
-    # reference for any user-provided value, not just pow2 buckets.
+    """Collect up to `search_k` candidate slots per query (-1 padded)."""
     t = roots.shape[0]
     q_cap = t + pmax
-    cap = search_k + w
+    cap = search_k + w  # slot `cap` is the trash lane for masked writes
 
-    def one(qv1, qn1, qe1, qf1):
+    def one(qv1, qf1):
         pq_dist = jnp.full(q_cap, -_INF, jnp.float32).at[:t].set(_INF)
         pq_node = jnp.zeros(q_cap, jnp.int32).at[:t].set(roots)
 
@@ -112,91 +112,115 @@ def _search_batch(
                 pq_dist = pq_dist.at[i].set(-_INF)
                 knd = kind[nid]
                 p = ptr[nid]
+                is_leaf = knd == KIND_LEAF
 
-                def leaf_case(op):
-                    pq_dist, pq_node, n_pushed, cand, n_cand = op
-                    off = leaf_off[p]
-                    cnt = leaf_cnt[p]
-                    win = jax.lax.dynamic_slice(leaf_items, (off,), (w,))
-                    valid = jnp.arange(w, dtype=jnp.int32) < cnt
-                    if has_filter:
-                        slot_c = jnp.maximum(win, 0)
-                        word = filter_words[slot_c >> 5]
-                        bit = (word >> (slot_c & 31).astype(jnp.uint32)) & jnp.uint32(1)
-                        valid = valid & (bit == 1)
-                    order = jnp.argsort(~valid, stable=True)  # valid entries first
-                    win2 = jnp.where(valid, win, -1)[order]
-                    cand = jax.lax.dynamic_update_slice(cand, win2, (n_cand,))
-                    return (
-                        pq_dist,
-                        pq_node,
-                        n_pushed,
-                        cand,
-                        n_cand + jnp.sum(valid.astype(jnp.int32)),
-                    )
+                # --- leaf lane: append the CSR window via cumsum scatter ---
+                off = leaf_off[p]
+                cnt = jnp.where(is_leaf, leaf_cnt[p], 0)
+                win = jax.lax.dynamic_slice(leaf_items, (off,), (w,))
+                valid = jnp.arange(w, dtype=jnp.int32) < cnt
+                if has_filter:
+                    slot_c = jnp.maximum(win, 0)
+                    word = filter_words[slot_c >> 5]
+                    bit = (word >> (slot_c & 31).astype(jnp.uint32)) & jnp.uint32(1)
+                    valid = valid & (bit == 1)
+                pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+                target = jnp.where(valid, n_cand + pos, cap)
+                cand = cand.at[target].set(win, mode="drop")
+                n_cand = n_cand + jnp.sum(valid.astype(jnp.int32))
 
-                def split_case(op):
-                    pq_dist, pq_node, n_pushed, cand, n_cand = op
-                    margin = jnp.where(
-                        knd == KIND_SPLIT_NONE,
-                        0.0,
-                        metric.base_dot(normals[p], qv1) + aux[p] * qf1,
-                    )
-                    dl = jnp.minimum(m, -margin)
-                    dr = jnp.minimum(m, margin)
-                    pq_dist = pq_dist.at[i].set(dl)
-                    pq_node = pq_node.at[i].set(left[nid])
-                    pq_dist = pq_dist.at[n_pushed].set(dr)
-                    pq_node = pq_node.at[n_pushed].set(right[nid])
-                    return (pq_dist, pq_node, n_pushed + 1, cand, n_cand)
-
-                pq_dist, pq_node, n_pushed, cand, n_cand = jax.lax.cond(
-                    knd == KIND_LEAF,
-                    leaf_case,
-                    split_case,
-                    (pq_dist, pq_node, n_pushed, cand, n_cand),
+                # --- split lane: margin + two pushes ---
+                margin = jnp.where(
+                    knd == KIND_SPLIT_NONE,
+                    0.0,
+                    metric.base_dot(normals[p], qv1) + aux[p] * qf1,
                 )
+                dl = jnp.minimum(m, -margin)
+                dr = jnp.minimum(m, margin)
+                # reuse the popped slot for the left child; append the right
+                pq_dist = pq_dist.at[i].set(jnp.where(is_leaf, -_INF, dl))
+                pq_node = pq_node.at[i].set(jnp.where(is_leaf, pq_node[i], left[nid]))
+                slot2 = jnp.where(is_leaf, q_cap, n_pushed)  # trash when leaf
+                pq_dist = pq_dist.at[slot2].set(dr, mode="drop")
+                pq_node = pq_node.at[slot2].set(right[nid], mode="drop")
+                n_pushed = n_pushed + jnp.where(is_leaf, 0, 1)
                 return (pq_dist, pq_node, n_pushed, cand, n_cand, pops + 1)
 
             return jax.lax.cond(
                 m > -_INF, do_pop, lambda st: (*st[:5], jnp.int32(pmax)), st
             )
 
-        cand0 = jnp.full(cap, -1, jnp.int32)
+        cand0 = jnp.full(cap + 1, -1, jnp.int32)
         _, _, _, cand, n_cand, _ = jax.lax.while_loop(
             cond,
             body,
             (pq_dist, pq_node, jnp.int32(t), cand0, jnp.int32(0), jnp.int32(0)),
         )
+        return cand[:cap]
 
-        # ---- exact re-score (reference src/reader.rs:376-400) ----
-        valid0 = cand >= 0
-        ids = slot_to_id[jnp.maximum(cand, 0)]  # uint32
-        # sort valid candidates first, by ascending id (the reference's
-        # sort_unstable + dedup, src/reader.rs:378-379)
-        order = jnp.lexsort((ids, ~valid0))
-        ids_s = ids[order]
-        valid_s = valid0[order]
-        slots_s = cand[order]
-        dup = jnp.concatenate(
-            [jnp.zeros(1, bool), (ids_s[1:] == ids_s[:-1]) & valid_s[:-1]]
-        )
-        invalid = ~valid_s | dup
-        slots_c = jnp.maximum(slots_s, 0)
-        x = rows[slots_c]
+    return jax.vmap(one)(qv, qf)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: re-score + top-k
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "dims", "k"))
+def _rescore_batch(
+    metric, dims, k, rows, norms, extras, slot_to_id, cand, qv, qn, qe
+):
+    b, cap = cand.shape
+    valid0 = cand >= 0
+    ids = slot_to_id[jnp.maximum(cand, 0)]  # uint32
+    # sort valid candidates first, by ascending id (the reference's
+    # sort_unstable + dedup, src/reader.rs:378-379)
+    # lexsort: valid-first is the primary key so that a genuine id of
+    # u32::MAX cannot interleave with invalid padding and dodge the
+    # adjacent-duplicate check
+    order = jnp.lexsort((ids, ~valid0))
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    valid_s = jnp.take_along_axis(valid0, order, axis=1)
+    slots_s = jnp.take_along_axis(cand, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), (ids_s[:, 1:] == ids_s[:, :-1]) & valid_s[:, :-1]],
+        axis=1,
+    )
+    invalid = ~valid_s | dup
+
+    # chunked distance sweep along the candidate axis
+    n_chunks = max(cap // _RESCORE_CHUNK, 1)
+    pad = n_chunks * _RESCORE_CHUNK
+    if pad < cap:
+        n_chunks += 1
+        pad = n_chunks * _RESCORE_CHUNK
+    slots_p = jnp.concatenate(
+        [jnp.maximum(slots_s, 0), jnp.zeros((b, pad - cap), jnp.int32)], axis=1
+    )
+    chunks = slots_p.reshape(b, n_chunks, _RESCORE_CHUNK).transpose(1, 0, 2)
+
+    def chunk_fn(slots_c):
+        x = rows[slots_c]  # [b, C, sd]
         xn = norms[slots_c]
         xe = extras[slots_c]
-        d = metric.built_distance(qv1, qn1, qe1, x, xn, xe)
-        d = jnp.where(invalid, _INF, d)
-        neg, top_idx = jax.lax.top_k(-d, k)
-        out_d = -neg
-        out_ids = ids_s[top_idx]
-        out_d = jnp.where(
-            out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
-        )
-        return out_ids, out_d
+        return metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
 
-    return jax.vmap(one)(qv, qn, qe, qf)
+    d = jax.lax.map(chunk_fn, chunks)  # [n_chunks, b, C]
+    d = d.transpose(1, 0, 2).reshape(b, pad)[:, :cap]
+    d = jnp.where(invalid, _INF, d)
+
+    neg, top_idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    out_ids = jnp.take_along_axis(ids_s, top_idx, axis=1)
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    return out_ids, out_d
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
 
 
 def search_batch(
@@ -209,7 +233,7 @@ def search_batch(
     search_k: int,
     filter_slots: np.ndarray | None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Host wrapper: bucketed static shapes + filter bitset upload."""
+    """Bucketed static shapes + filter bitset upload + two-stage dispatch."""
     if idx.n_items == 0 or not idx.roots:
         b = qv.shape[0]
         return np.zeros((b, count), np.int64), np.full((b, count), np.nan, np.float32)
@@ -233,42 +257,12 @@ def search_batch(
     k = min(_next_pow2(count), sk + idx.max_leaf)
     pmax = pops_budget(idx, sk_exact, has_filter)
 
-    # bound the [B, cap, sd] re-score gather: chunk the query batch so the
-    # temporary stays under ~256 MB
-    cap_rows = sk + idx.max_leaf
-    bytes_per_q = max(cap_rows * idx.rows.shape[1] * 4, 1)
-    chunk_b = max(1, min(qv.shape[0], (256 << 20) // bytes_per_q))
-    if qv.shape[0] > chunk_b:
-        parts = [
-            search_batch(
-                idx,
-                qv[i : i + chunk_b],
-                qn[i : i + chunk_b],
-                qe[i : i + chunk_b],
-                qf[i : i + chunk_b],
-                count,
-                search_k,
-                filter_slots,
-            )
-            for i in range(0, qv.shape[0], chunk_b)
-        ]
-        return (
-            np.concatenate([p[0] for p in parts], axis=0),
-            np.concatenate([p[1] for p in parts], axis=0),
-        )
-
-    ids, dists = _search_batch(
+    cand = _traverse_batch(
         idx.metric,
-        idx.dims,
         int(sk),
-        int(k),
         int(pmax),
         int(idx.max_leaf),
         bool(has_filter),
-        idx.rows,
-        idx.norms,
-        idx.extras,
-        idx.slot_to_id,
         idx.kind,
         idx.left,
         idx.right,
@@ -280,11 +274,22 @@ def search_batch(
         idx.leaf_items,
         jnp.asarray(np.asarray(idx.roots, np.int32)),
         jnp.asarray(qv),
-        jnp.asarray(qn),
-        jnp.asarray(qe),
         jnp.asarray(qf),
         filter_words,
         jnp.int32(sk_exact),
+    )
+    ids, dists = _rescore_batch(
+        idx.metric,
+        idx.dims,
+        int(k),
+        idx.rows,
+        idx.norms,
+        idx.extras,
+        idx.slot_to_id,
+        cand,
+        jnp.asarray(qv),
+        jnp.asarray(qn),
+        jnp.asarray(qe),
     )
     ids = np.asarray(ids).astype(np.int64)[:, :count]
     dists = np.asarray(dists)[:, :count]

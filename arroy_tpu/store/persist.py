@@ -80,6 +80,8 @@ def _write_state(gen_dir: str, st) -> None:
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
 
+    use_container = os.environ.get("ARROY_TPU_NPY_STORE", "0") != "1"
+
     meta = {
         "dims": st.dims,
         "metric": st.metric.name,
@@ -95,27 +97,10 @@ def _write_state(gen_dir: str, st) -> None:
             "distance": st.metadata.distance,
             "roots": [int(r) for r in st.metadata.roots],
         }
-        np.save(os.path.join(tmp_dir, "metadata_items.npy"), st.metadata.items.ids)
-
-    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
-
-    np.save(os.path.join(tmp_dir, "item_rows.npy"), st.store.rows())
-    np.save(os.path.join(tmp_dir, "item_norms.npy"), st.store.norms())
-    np.save(os.path.join(tmp_dir, "item_extras.npy"), st.store.extras())
-    np.save(os.path.join(tmp_dir, "slot_ids.npy"), st.store.slot_ids())
 
     f_ = st.forest
-    np.save(os.path.join(tmp_dir, "forest_kind.npy"), f_.kind)
-    np.save(os.path.join(tmp_dir, "forest_left.npy"), f_.left)
-    np.save(os.path.join(tmp_dir, "forest_right.npy"), f_.right)
-    np.save(os.path.join(tmp_dir, "forest_ptr.npy"), f_.ptr)
     sd = st.metric.storage_dim(st.dims)
     np_dtype = np.uint32 if st.metric.binary else np.float32
-    normals = f_.normals if f_.normals is not None else np.zeros((0, sd), np_dtype)
-    np.save(os.path.join(tmp_dir, "normals.npy"), normals)
-    np.save(os.path.join(tmp_dir, "aux.npy"), f_.aux)
-
     leaf_nodes = np.asarray(sorted(f_.leaves), dtype=np.int64)
     offs = np.zeros(len(leaf_nodes) + 1, np.int64)
     chunks = []
@@ -123,9 +108,37 @@ def _write_state(gen_dir: str, st) -> None:
         chunks.append(f_.leaves[int(nid)])
         offs[i + 1] = offs[i] + len(chunks[-1])
     flat = np.concatenate(chunks) if chunks else np.empty(0, np.uint32)
-    np.save(os.path.join(tmp_dir, "leaf_nodes.npy"), leaf_nodes)
-    np.save(os.path.join(tmp_dir, "leaf_offs.npy"), offs)
-    np.save(os.path.join(tmp_dir, "leaf_items.npy"), flat)
+
+    arrays = {
+        "item_rows": st.store.rows(),
+        "item_norms": st.store.norms(),
+        "item_extras": st.store.extras(),
+        "slot_ids": st.store.slot_ids(),
+        "forest_kind": f_.kind,
+        "forest_left": f_.left,
+        "forest_right": f_.right,
+        "forest_ptr": f_.ptr,
+        "normals": f_.normals if f_.normals is not None else np.zeros((0, sd), np_dtype),
+        "aux": f_.aux,
+        "leaf_nodes": leaf_nodes,
+        "leaf_offs": offs,
+        "leaf_items": flat,
+    }
+    if st.metadata is not None:
+        arrays["metadata_items"] = st.metadata.items.ids
+
+    if use_container:
+        from .. import native
+
+        meta["store"] = "container"
+        native.write_container(os.path.join(tmp_dir, "state.atc"), arrays)
+    else:
+        meta["store"] = "npy"
+        for name, arr in arrays.items():
+            np.save(os.path.join(tmp_dir, f"{name}.npy"), arr)
+
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
 
     os.replace(tmp_dir, gen_dir)
 
@@ -153,27 +166,42 @@ def load(root: str) -> dict[int, "IndexState"]:
         metric = metric_by_name(meta["metric"])
         dims = int(meta["dims"])
 
+        if meta.get("store", "npy") == "container":
+            from .. import native
+
+            container = native.Container(os.path.join(gen_dir, "state.atc"))
+
+            def arr(name):
+                # mutable copy: IndexState arrays are written in place by
+                # later builds; the mmap view itself is read-only
+                return np.array(container.array(name))
+
+        else:
+
+            def arr(name):
+                return np.load(os.path.join(gen_dir, f"{name}.npy"))
+
         store = ItemStore.from_arrays(
             metric,
             dims,
-            np.load(os.path.join(gen_dir, "item_rows.npy")),
-            np.load(os.path.join(gen_dir, "item_norms.npy")),
-            np.load(os.path.join(gen_dir, "item_extras.npy")),
-            np.load(os.path.join(gen_dir, "slot_ids.npy")),
+            arr("item_rows"),
+            arr("item_norms"),
+            arr("item_extras"),
+            arr("slot_ids"),
         )
 
         forest = Forest(
-            kind=np.load(os.path.join(gen_dir, "forest_kind.npy")),
-            left=np.load(os.path.join(gen_dir, "forest_left.npy")),
-            right=np.load(os.path.join(gen_dir, "forest_right.npy")),
-            ptr=np.load(os.path.join(gen_dir, "forest_ptr.npy")),
-            normals=np.load(os.path.join(gen_dir, "normals.npy")),
-            aux=np.load(os.path.join(gen_dir, "aux.npy")),
+            kind=arr("forest_kind"),
+            left=arr("forest_left"),
+            right=arr("forest_right"),
+            ptr=arr("forest_ptr"),
+            normals=arr("normals"),
+            aux=arr("aux"),
             roots=[int(r) for r in meta["roots"]],
         )
-        leaf_nodes = np.load(os.path.join(gen_dir, "leaf_nodes.npy"))
-        offs = np.load(os.path.join(gen_dir, "leaf_offs.npy"))
-        flat = np.load(os.path.join(gen_dir, "leaf_items.npy"))
+        leaf_nodes = arr("leaf_nodes")
+        offs = arr("leaf_offs")
+        flat = arr("leaf_items")
         for i, nid in enumerate(leaf_nodes):
             forest.leaves[int(nid)] = flat[offs[i] : offs[i + 1]]
 
@@ -182,9 +210,7 @@ def load(root: str) -> dict[int, "IndexState"]:
             md = meta["metadata"]
             metadata = Metadata(
                 dimensions=int(md["dimensions"]),
-                items=ItemSet.from_sorted(
-                    np.load(os.path.join(gen_dir, "metadata_items.npy"))
-                ),
+                items=ItemSet.from_sorted(arr("metadata_items")),
                 roots=[int(r) for r in md["roots"]],
                 distance=md["distance"],
             )

@@ -147,6 +147,13 @@ class Writer:
         st.store.put(item, np.asarray(vector, dtype=np.float32))
         st.updated.add(int(item))
 
+    def add_items(self, wtxn: WriteTxn, items, vectors) -> None:
+        """Bulk add — vectorized encode of a whole [n, dims] matrix."""
+        st = self._state(wtxn)
+        items = np.asarray(items)
+        st.store.put_many(items, np.asarray(vectors, dtype=np.float32))
+        st.updated.update(int(i) for i in items)
+
     def append_item(self, wtxn: WriteTxn, item: int, vector) -> None:
         """Fast ordered insert; errors when `item` would not be the last key.
 

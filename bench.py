@@ -32,7 +32,23 @@ COUNT = int(os.environ.get("BENCH_K", 10))
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 ITERS = int(os.environ.get("BENCH_ITERS", 8))
 SEARCH_K = int(os.environ.get("BENCH_SEARCH_K", COUNT * N_TREES * 20))
+#: "clustered" mirrors the reference's sample_vectors crossover corpus
+#: (reference: examples/sample_vectors.rs) — embedding-like structured data;
+#: "random" is isotropic gaussian (the worst case for any RP-tree index).
+DATA = os.environ.get("BENCH_DATA", "clustered")
 ASSUMED_CPU_ARROY_QPS = 1000.0
+
+
+def make_corpus(rng, m, d):
+    if DATA == "random":
+        return rng.standard_normal((m, d)).astype(np.float32)
+    parents = rng.standard_normal((64, d)).astype(np.float32)
+    pa = rng.integers(64, size=m)
+    pb = rng.integers(64, size=m)
+    mask = rng.random((m, d)) < 0.5
+    x = np.where(mask, parents[pa], parents[pb]).astype(np.float32)
+    x += 0.05 * rng.standard_normal((m, d)).astype(np.float32)
+    return x
 
 
 def log(msg):
@@ -42,19 +58,26 @@ def log(msg):
 def main():
     import jax
 
+    # persistent compilation cache: repeated bench/build runs skip XLA compiles
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache is an optimization, never a hard failure
+        log(f"compilation cache disabled: {e}")
+
     from arroy_tpu import Database, Reader, Writer
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
-    x = rng.standard_normal((M, D)).astype(np.float32)
-    queries = rng.standard_normal((BATCH, D)).astype(np.float32)
+    x = make_corpus(rng, M + BATCH, D)
+    x, queries = x[:M], x[M:]
 
     db = Database()
     w = Writer(db, 0, D, metric="euclidean")
     t0 = time.perf_counter()
     with db.write() as wtxn:
-        for i in range(M):
-            w.add_item(wtxn, i, x[i])
+        w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
         t_add = time.perf_counter()
         w.builder(seed=42).n_trees(N_TREES).build(wtxn)
         t_build = time.perf_counter()
