@@ -43,6 +43,9 @@ class DeviceIndex:
     left: jnp.ndarray
     right: jnp.ndarray
     ptr: jnp.ndarray
+    #: packed per-node row [Np, 8]: kind,left,right,ptr,leaf_off,leaf_cnt,0,0 —
+    #: one gather per pop in the traversal loop instead of six
+    node_table: jnp.ndarray
     normals: jnp.ndarray  # [S, sd]
     aux: jnp.ndarray  # [S]
     leaf_off: jnp.ndarray  # [L] int32 into leaf_items
@@ -111,6 +114,18 @@ class DeviceIndex:
             normals = np.zeros((1, sd), dtype=np_dtype)
             aux = np.zeros(1, np.float32)
 
+        offs_arr = np.asarray(offs, np.int32) if offs else np.zeros(1, np.int32)
+        cnts_arr = np.asarray(cnts, np.int32) if cnts else np.zeros(1, np.int32)
+        node_table = np.zeros((n_table, 8), np.int32)
+        node_table[:, 0] = kind
+        node_table[:, 1] = left
+        node_table[:, 2] = right
+        node_table[:, 3] = ptr
+        is_leaf_node = kind == KIND_LEAF
+        li = np.clip(ptr, 0, len(offs_arr) - 1)
+        node_table[:, 4] = np.where(is_leaf_node, offs_arr[li], 0)
+        node_table[:, 5] = np.where(is_leaf_node, cnts_arr[li], 0)
+
         return DeviceIndex(
             metric=metric,
             dims=dims,
@@ -123,13 +138,14 @@ class DeviceIndex:
             live=jnp.asarray(s2i >= 0),
             slot_to_id_np=s2i,
             kind=jnp.asarray(kind),
+            node_table=jnp.asarray(node_table),
             left=jnp.asarray(left),
             right=jnp.asarray(right),
             ptr=jnp.asarray(ptr),
             normals=jnp.asarray(normals),
             aux=jnp.asarray(aux),
-            leaf_off=jnp.asarray(np.asarray(offs, np.int32) if offs else np.zeros(1, np.int32)),
-            leaf_cnt=jnp.asarray(np.asarray(cnts, np.int32) if cnts else np.zeros(1, np.int32)),
+            leaf_off=jnp.asarray(offs_arr),
+            leaf_cnt=jnp.asarray(cnts_arr),
             leaf_items=jnp.asarray(flat),
             roots=tuple(int(r) for r in forest.roots),
             n_nodes=forest.n_nodes(),

@@ -91,6 +91,9 @@ def _layout(arrays: dict[str, np.ndarray]):
     # with a generous pad instead)
     names = sorted(arrays)
     payloads = [np.ascontiguousarray(arrays[n]) for n in names]
+    for n, arr in zip(names, payloads):
+        if arr.dtype.hasobject or arr.dtype.str.startswith("|O"):
+            raise TypeError(f"blob {n!r} has non-serializable dtype {arr.dtype}")
 
     def build(offset0):
         off = offset0

@@ -165,6 +165,58 @@ class QueryBuilder:
         return out
 
 
+class Searcher:
+    """Compiled device-resident search handle bound to one snapshot."""
+
+    def __init__(self, reader: "Reader", qb: QueryBuilder):
+        from .search import make_search_fn
+
+        self._reader = reader
+        self._count = qb._count
+        dev = reader._device()
+        filter_slots = None
+        if qb._candidates is not None:
+            inter = qb._candidates.intersection(
+                ItemSet.from_sorted(reader._state.metadata.items.ids)
+            )
+            filter_slots = (
+                reader._state.store.slots_of(inter.ids)
+                if len(inter)
+                else np.empty(0, np.int64)
+            )
+        self.device_fn = make_search_fn(
+            dev, qb._count, qb._effective_search_k(), filter_slots
+        )
+        self._dev = dev
+
+    def prepare_queries(self, vectors: np.ndarray):
+        """Upload a query matrix once; returns device (qv, qn, qe, qf)."""
+        import jax.numpy as jnp
+
+        r = self._reader
+        vectors = np.asarray(vectors, dtype=np.float32)
+        qv = r.metric.encode_np(vectors)
+        qn = r.metric.item_norms_np(qv, r.dimensions())
+        qe = np.zeros(len(qv), np.float32)
+        qf = (
+            np.zeros(len(qv), np.float32)
+            if r.metric.has_extra
+            else np.ones(len(qv), np.float32)
+        )
+        return (jnp.asarray(qv), jnp.asarray(qn), jnp.asarray(qe), jnp.asarray(qf))
+
+    def __call__(self, vectors: np.ndarray) -> list[list[tuple[int, float]]]:
+        """Host convenience: numpy in, result lists out."""
+        ids, dists = self.device_fn(*self.prepare_queries(vectors))
+        ids = np.asarray(ids).astype(np.int64)[:, : self._count]
+        dists = np.asarray(dists)[:, : self._count]
+        out = []
+        for row_ids, row_d in zip(ids, dists):
+            keep = ~np.isnan(row_d)
+            out.append([(int(i), float(d)) for i, d in zip(row_ids[keep], row_d[keep])])
+        return out
+
+
 class Reader:
     """A reader over one committed index snapshot."""
 
@@ -225,6 +277,28 @@ class Reader:
 
     def nns(self, count: int) -> QueryBuilder:
         return QueryBuilder(self, count)
+
+    def searcher(
+        self,
+        count: int,
+        search_k: int | None = None,
+        oversampling: int | None = None,
+        candidates=None,
+    ) -> "Searcher":
+        """A bound, compiled serving handle (the TPU-native hot path).
+
+        Unlike `nns(...)`, the returned `Searcher` keeps everything on
+        device: `device_fn(qv, qn, qe, qf)` takes and returns device
+        arrays so back-to-back calls pipeline without host round trips.
+        """
+        qb = QueryBuilder(self, count)
+        if search_k is not None:
+            qb.search_k(search_k)
+        if oversampling is not None:
+            qb.oversampling(oversampling)
+        if candidates is not None:
+            qb.candidates(candidates)
+        return Searcher(self, qb)
 
     # -- exact search oracle --------------------------------------------
     def exact_by_vectors(self, vectors, count: int) -> list[list[tuple[int, float]]]:

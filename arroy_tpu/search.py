@@ -70,10 +70,7 @@ def _traverse_batch(
     pmax,
     w,
     has_filter,
-    kind,
-    left,
-    right,
-    ptr,
+    node_table,
     normals,
     aux,
     leaf_off,
@@ -90,9 +87,99 @@ def _traverse_batch(
     q_cap = t + pmax
     cap = search_k + w  # slot `cap` is the trash lane for masked writes
 
+    q_iota = jnp.arange(q_cap, dtype=jnp.int32)
+    w_iota = jnp.arange(w, dtype=jnp.int32)
+    cap_iota = jnp.arange(cap, dtype=jnp.int32)
+    # each non-empty leaf pop contributes >= 1 candidate, so at most
+    # min(search_k, pmax) leaf pops are ever logged
+    l_cap = min(search_k, pmax) + 1
+    l_iota = jnp.arange(l_cap, dtype=jnp.int32)
+
     def one(qv1, qf1):
-        pq_dist = jnp.full(q_cap, -_INF, jnp.float32).at[:t].set(_INF)
-        pq_node = jnp.zeros(q_cap, jnp.int32).at[:t].set(roots)
+        pq_dist = jnp.where(q_iota < t, _INF, -_INF)
+        pq_node = jnp.where(q_iota < t, roots[jnp.minimum(q_iota, t - 1)], 0)
+
+        def cond(st):
+            _, _, _, _, n_cand, pops = st
+            return (n_cand < search_k_dyn) & (pops < pmax)
+
+        # NOTE the loop body never touches the candidate buffer and never
+        # scatters: a leaf pop only logs its CSR row (a [l_cap] select) and
+        # bumps the count; the actual item windows are expanded in one
+        # vectorized gather after the loop.  TPU scatters and per-iteration
+        # [cap]-wide rewrites both cost milliseconds per pop.
+        def body(st):
+            pq_dist, pq_node, n_pushed, leaf_log, n_cand, pops = st
+            n_leaf = leaf_log[l_cap - 1]  # running count kept in the tail slot
+            m = jnp.max(pq_dist)
+            alive = m > -_INF
+            # max-heap pop: max dist, ties broken by larger node id
+            # (BinaryHeap<(OrderedFloat, NodeId)>, reference src/reader.rs:342)
+            mask = pq_dist == m
+            nid = jnp.max(jnp.where(mask, pq_node, -1))
+            i = jnp.argmax(mask & (pq_node == nid))
+            row = node_table[nid]  # one gather: kind,left,right,ptr,off,cnt
+            knd = row[0]
+            p = row[3]
+            is_leaf = alive & (knd == KIND_LEAF)
+            is_split = alive & ~is_leaf
+
+            # --- leaf lane: count (and log) the window ---
+            cnt = jnp.where(is_leaf, row[5], 0)
+            log_it = is_leaf & (cnt > 0) & (n_leaf < l_cap - 1)
+            leaf_log = jnp.where(log_it & (l_iota == n_leaf), p, leaf_log)
+            leaf_log = jnp.where(
+                l_iota == l_cap - 1, n_leaf + log_it.astype(jnp.int32), leaf_log
+            )
+            n_cand = n_cand + cnt
+
+            # --- split lane: margin + two pushes (select-based updates) ---
+            margin = jnp.where(
+                knd == KIND_SPLIT_NONE,
+                0.0,
+                metric.base_dot(normals[p], qv1) + aux[p] * qf1,
+            )
+            dl = jnp.minimum(m, -margin)
+            dr = jnp.minimum(m, margin)
+            at_i = q_iota == i
+            at_push = q_iota == n_pushed
+            pq_dist = jnp.where(at_i, jnp.where(is_split, dl, -_INF), pq_dist)
+            pq_node = jnp.where(at_i & is_split, row[1], pq_node)
+            pq_dist = jnp.where(at_push & is_split, dr, pq_dist)
+            pq_node = jnp.where(at_push & is_split, row[2], pq_node)
+            n_pushed = n_pushed + jnp.where(is_split, 1, 0)
+            pops = jnp.where(alive, pops + 1, jnp.int32(pmax))
+            return (pq_dist, pq_node, n_pushed, leaf_log, n_cand, pops)
+
+        log0 = jnp.zeros(l_cap, jnp.int32)
+        _, _, _, leaf_log, n_cand, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (pq_dist, pq_node, jnp.int32(t), log0, jnp.int32(0), jnp.int32(0)),
+        )
+
+        # ---- expansion: leaf log -> candidate slots, one big gather ----
+        n_leaf = leaf_log[l_cap - 1]
+        rows_l = leaf_log  # [l_cap]; entries >= n_leaf are stale
+        live_l = l_iota < n_leaf
+        counts = jnp.where(live_l, leaf_cnt[rows_l], 0)
+        ends = jnp.cumsum(counts)
+        sel = jnp.searchsorted(ends, cap_iota, side="right").astype(jnp.int32)
+        sel_c = jnp.minimum(sel, l_cap - 1)
+        start = ends[sel_c] - counts[sel_c]
+        src = leaf_off[rows_l[sel_c]] + (cap_iota - start)
+        total = jnp.minimum(ends[l_cap - 1], cap)
+        vals = leaf_items[jnp.minimum(src, leaf_items.shape[0] - 1)]
+        return jnp.where(cap_iota < total, vals, -1)
+
+    def one_filtered(qv1, qf1):
+        """Filtered traversal: windows must be filter-compacted inside the
+        loop (the accepted items of a leaf are not contiguous in the CSR, and
+        only they count toward search_k — reference src/reader.rs:354-360).
+        Slower per pop than the log-based path; filters trade speed for
+        selectivity exactly like the reference."""
+        pq_dist = jnp.where(q_iota < t, _INF, -_INF)
+        pq_node = jnp.where(q_iota < t, roots[jnp.minimum(q_iota, t - 1)], 0)
 
         def cond(st):
             _, _, _, _, n_cand, pops = st
@@ -101,64 +188,58 @@ def _traverse_batch(
         def body(st):
             pq_dist, pq_node, n_pushed, cand, n_cand, pops = st
             m = jnp.max(pq_dist)
+            alive = m > -_INF
+            mask = pq_dist == m
+            nid = jnp.max(jnp.where(mask, pq_node, -1))
+            i = jnp.argmax(mask & (pq_node == nid))
+            row = node_table[nid]
+            knd = row[0]
+            p = row[3]
+            is_leaf = alive & (knd == KIND_LEAF)
+            is_split = alive & ~is_leaf
 
-            def do_pop(st):
-                pq_dist, pq_node, n_pushed, cand, n_cand, pops = st
-                # max-heap pop: max dist, ties broken by larger node id
-                # (BinaryHeap<(OrderedFloat, NodeId)>, reference src/reader.rs:342)
-                mask = pq_dist == m
-                nid = jnp.max(jnp.where(mask, pq_node, -1))
-                i = jnp.argmax(mask & (pq_node == nid))
-                pq_dist = pq_dist.at[i].set(-_INF)
-                knd = kind[nid]
-                p = ptr[nid]
-                is_leaf = knd == KIND_LEAF
+            off = row[4]
+            cnt = jnp.where(is_leaf, row[5], 0)
+            win = jax.lax.dynamic_slice(leaf_items, (off,), (w,))
+            slot_c = jnp.maximum(win, 0)
+            word = filter_words[slot_c >> 5]
+            bit = (word >> (slot_c & 31).astype(jnp.uint32)) & jnp.uint32(1)
+            valid = (w_iota < cnt) & (bit == 1)
+            csum = jnp.cumsum(valid.astype(jnp.int32))
+            n_valid = jnp.where(is_leaf, csum[w - 1], 0)
+            srcw = jnp.searchsorted(csum, w_iota + 1, side="left").astype(jnp.int32)
+            compacted = win[jnp.minimum(srcw, w - 1)]
+            idx_rel = cap_iota - n_cand
+            in_win = (idx_rel >= 0) & (idx_rel < n_valid)
+            cand = jnp.where(in_win, compacted[jnp.clip(idx_rel, 0, w - 1)], cand)
+            n_cand = n_cand + n_valid
 
-                # --- leaf lane: append the CSR window via cumsum scatter ---
-                off = leaf_off[p]
-                cnt = jnp.where(is_leaf, leaf_cnt[p], 0)
-                win = jax.lax.dynamic_slice(leaf_items, (off,), (w,))
-                valid = jnp.arange(w, dtype=jnp.int32) < cnt
-                if has_filter:
-                    slot_c = jnp.maximum(win, 0)
-                    word = filter_words[slot_c >> 5]
-                    bit = (word >> (slot_c & 31).astype(jnp.uint32)) & jnp.uint32(1)
-                    valid = valid & (bit == 1)
-                pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
-                target = jnp.where(valid, n_cand + pos, cap)
-                cand = cand.at[target].set(win, mode="drop")
-                n_cand = n_cand + jnp.sum(valid.astype(jnp.int32))
-
-                # --- split lane: margin + two pushes ---
-                margin = jnp.where(
-                    knd == KIND_SPLIT_NONE,
-                    0.0,
-                    metric.base_dot(normals[p], qv1) + aux[p] * qf1,
-                )
-                dl = jnp.minimum(m, -margin)
-                dr = jnp.minimum(m, margin)
-                # reuse the popped slot for the left child; append the right
-                pq_dist = pq_dist.at[i].set(jnp.where(is_leaf, -_INF, dl))
-                pq_node = pq_node.at[i].set(jnp.where(is_leaf, pq_node[i], left[nid]))
-                slot2 = jnp.where(is_leaf, q_cap, n_pushed)  # trash when leaf
-                pq_dist = pq_dist.at[slot2].set(dr, mode="drop")
-                pq_node = pq_node.at[slot2].set(right[nid], mode="drop")
-                n_pushed = n_pushed + jnp.where(is_leaf, 0, 1)
-                return (pq_dist, pq_node, n_pushed, cand, n_cand, pops + 1)
-
-            return jax.lax.cond(
-                m > -_INF, do_pop, lambda st: (*st[:5], jnp.int32(pmax)), st
+            margin = jnp.where(
+                knd == KIND_SPLIT_NONE,
+                0.0,
+                metric.base_dot(normals[p], qv1) + aux[p] * qf1,
             )
+            dl = jnp.minimum(m, -margin)
+            dr = jnp.minimum(m, margin)
+            at_i = q_iota == i
+            at_push = q_iota == n_pushed
+            pq_dist = jnp.where(at_i, jnp.where(is_split, dl, -_INF), pq_dist)
+            pq_node = jnp.where(at_i & is_split, row[1], pq_node)
+            pq_dist = jnp.where(at_push & is_split, dr, pq_dist)
+            pq_node = jnp.where(at_push & is_split, row[2], pq_node)
+            n_pushed = n_pushed + jnp.where(is_split, 1, 0)
+            pops = jnp.where(alive, pops + 1, jnp.int32(pmax))
+            return (pq_dist, pq_node, n_pushed, cand, n_cand, pops)
 
-        cand0 = jnp.full(cap + 1, -1, jnp.int32)
-        _, _, _, cand, n_cand, _ = jax.lax.while_loop(
+        cand0 = jnp.full(cap, -1, jnp.int32)
+        _, _, _, cand, _, _ = jax.lax.while_loop(
             cond,
             body,
             (pq_dist, pq_node, jnp.int32(t), cand0, jnp.int32(0), jnp.int32(0)),
         )
-        return cand[:cap]
+        return cand
 
-    return jax.vmap(one)(qv, qf)
+    return jax.vmap(one_filtered if has_filter else one)(qv, qf)
 
 
 # ---------------------------------------------------------------------------
@@ -219,8 +300,75 @@ def _rescore_batch(
 
 
 # ---------------------------------------------------------------------------
-# host wrapper
+# serving handle: a bound device-to-device search function
 # ---------------------------------------------------------------------------
+
+
+def make_search_fn(
+    idx: DeviceIndex,
+    count: int,
+    search_k: int,
+    filter_slots: np.ndarray | None = None,
+):
+    """Return a device-resident search callable (the serving hot path).
+
+    The returned ``fn(qv, qn, qe, qf) -> (ids_u32, dists)`` takes device
+    arrays and returns device arrays — no host synchronization, so calls
+    pipeline back-to-back.  This is how a production server should drive
+    the engine; the ``QueryBuilder`` path adds host conversions per call.
+    """
+    has_filter = filter_slots is not None
+    if has_filter:
+        n_words = max((idx.cap + 31) // 32, 1)
+        words = np.zeros(n_words, np.uint32)
+        fs = np.asarray(filter_slots, dtype=np.int64)
+        np.bitwise_or.at(words, fs >> 5, np.uint32(1) << (fs & 31).astype(np.uint32))
+        filter_words = jnp.asarray(words)
+    else:
+        filter_words = jnp.zeros(1, jnp.uint32)
+
+    csr_total = max(int(idx.leaf_items.shape[0]) - idx.max_leaf, 1)
+    sk_exact = min(max(search_k, count), csr_total)
+    sk = _next_pow2(sk_exact)
+    k = max(min(_next_pow2(count), sk + idx.max_leaf), 1)
+    pmax = pops_budget(idx, sk_exact, has_filter)
+    roots = jnp.asarray(np.asarray(idx.roots, np.int32))
+    sk_dyn = jnp.int32(sk_exact)
+
+    def fn(qv, qn, qe, qf):
+        cand = _traverse_batch(
+            idx.metric,
+            int(sk),
+            int(pmax),
+            int(idx.max_leaf),
+            bool(has_filter),
+            idx.node_table,
+            idx.normals,
+            idx.aux,
+            idx.leaf_off,
+            idx.leaf_cnt,
+            idx.leaf_items,
+            roots,
+            qv,
+            qf,
+            filter_words,
+            sk_dyn,
+        )
+        return _rescore_batch(
+            idx.metric,
+            idx.dims,
+            int(k),
+            idx.rows,
+            idx.norms,
+            idx.extras,
+            idx.slot_to_id,
+            cand,
+            qv,
+            qn,
+            qe,
+        )
+
+    return fn
 
 
 def search_batch(
@@ -233,63 +381,14 @@ def search_batch(
     search_k: int,
     filter_slots: np.ndarray | None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Bucketed static shapes + filter bitset upload + two-stage dispatch."""
+    """Host wrapper over `make_search_fn` (per-call upload/download)."""
     if idx.n_items == 0 or not idx.roots:
         b = qv.shape[0]
         return np.zeros((b, count), np.int64), np.full((b, count), np.nan, np.float32)
 
-    has_filter = filter_slots is not None
-    n_words = max((idx.cap + 31) // 32, 1)
-    if has_filter:
-        words = np.zeros(n_words, np.uint32)
-        fs = np.asarray(filter_slots, dtype=np.int64)
-        np.bitwise_or.at(words, fs >> 5, np.uint32(1) << (fs & 31).astype(np.uint32))
-        filter_words = jnp.asarray(words)
-    else:
-        filter_words = jnp.zeros(1, jnp.uint32)
-
-    # candidate count includes duplicates across trees (the reference counts
-    # `nns.len()` the same way, src/reader.rs:341), so the only safe clamp is
-    # the total number of CSR leaf entries — past that the queue is exhausted.
-    csr_total = max(int(idx.leaf_items.shape[0]) - idx.max_leaf, 1)
-    sk_exact = min(max(search_k, count), csr_total)
-    sk = _next_pow2(sk_exact)
-    k = min(_next_pow2(count), sk + idx.max_leaf)
-    pmax = pops_budget(idx, sk_exact, has_filter)
-
-    cand = _traverse_batch(
-        idx.metric,
-        int(sk),
-        int(pmax),
-        int(idx.max_leaf),
-        bool(has_filter),
-        idx.kind,
-        idx.left,
-        idx.right,
-        idx.ptr,
-        idx.normals,
-        idx.aux,
-        idx.leaf_off,
-        idx.leaf_cnt,
-        idx.leaf_items,
-        jnp.asarray(np.asarray(idx.roots, np.int32)),
-        jnp.asarray(qv),
-        jnp.asarray(qf),
-        filter_words,
-        jnp.int32(sk_exact),
-    )
-    ids, dists = _rescore_batch(
-        idx.metric,
-        idx.dims,
-        int(k),
-        idx.rows,
-        idx.norms,
-        idx.extras,
-        idx.slot_to_id,
-        cand,
-        jnp.asarray(qv),
-        jnp.asarray(qn),
-        jnp.asarray(qe),
+    fn = make_search_fn(idx, count, search_k, filter_slots)
+    ids, dists = fn(
+        jnp.asarray(qv), jnp.asarray(qn), jnp.asarray(qe), jnp.asarray(qf)
     )
     ids = np.asarray(ids).astype(np.int64)[:, :count]
     dists = np.asarray(dists)[:, :count]

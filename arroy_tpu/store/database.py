@@ -79,7 +79,13 @@ class IndexState:
 
 
 class Database:
-    """An embedded multi-index vector database (the `heed::Database` role)."""
+    """An embedded multi-index vector database (the `heed::Database` role).
+
+    File-backed databases follow the LMDB concurrency contract
+    (reference: README.md:16,28-37): many reader processes share the
+    files, one writer at a time holds an advisory file lock, and every
+    `read()` sees the latest committed generation.
+    """
 
     def __init__(self, path: str | None = None):
         self.path = path
@@ -87,16 +93,50 @@ class Database:
         self._write_lock = threading.Lock()
         self._committed: dict[int, IndexState] = {}
         self._device_cache: dict[int, tuple[int, object]] = {}
+        self._manifest_stamp: tuple | None = None
         if path is not None:
             from . import persist
 
             self._committed = persist.load(path)
+            self._manifest_stamp = self._stat_manifest()
+
+    def _stat_manifest(self):
+        import os
+
+        if self.path is None:
+            return None
+        try:
+            st = os.stat(os.path.join(self.path, "MANIFEST.json"))
+            return (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            return None
+
+    def _maybe_reload(self) -> None:
+        """Pick up commits made by other processes (LMDB MVCC reopen)."""
+        if self.path is None:
+            return
+        stamp = self._stat_manifest()
+        if stamp == self._manifest_stamp:
+            return
+        from . import persist
+
+        fresh = persist.load(self.path)
+        with self._lock:
+            for idx, st in fresh.items():
+                cur = self._committed.get(idx)
+                if cur is None or st.generation > cur.generation:
+                    self._committed[idx] = st
+            for idx in list(self._committed):
+                if idx not in fresh:
+                    self._committed.pop(idx)
+            self._manifest_stamp = stamp
 
     # -- transactions --------------------------------------------------
     def write(self) -> "WriteTxn":
         return WriteTxn(self)
 
     def read(self) -> "ReadTxn":
+        self._maybe_reload()
         with self._lock:
             return ReadTxn(self, dict(self._committed))
 
@@ -111,6 +151,7 @@ class Database:
 
                 persist.save(self.path, new)
             self._committed = new
+            self._manifest_stamp = self._stat_manifest()
 
     # -- device cache --------------------------------------------------
     def device_index(self, index: int, state: IndexState):
@@ -147,6 +188,16 @@ class WriteTxn:
     def __init__(self, db: Database):
         self.db = db
         db._write_lock.acquire()
+        self._flock = None
+        if db.path is not None:
+            # cross-process single-writer exclusion (the LMDB writer lock)
+            import fcntl
+            import os
+
+            os.makedirs(db.path, exist_ok=True)
+            self._flock = open(os.path.join(db.path, "LOCK"), "a+")
+            fcntl.flock(self._flock.fileno(), fcntl.LOCK_EX)
+            db._maybe_reload()
         self._base = dict(db._committed)
         self._states: dict[int, IndexState] = {}
         self._dropped: set[int] = set()
@@ -207,6 +258,12 @@ class WriteTxn:
 
     def _close(self) -> None:
         self._open = False
+        if self._flock is not None:
+            import fcntl
+
+            fcntl.flock(self._flock.fileno(), fcntl.LOCK_UN)
+            self._flock.close()
+            self._flock = None
         self.db._write_lock.release()
 
     # context-manager sugar: commit on clean exit, abort on exception

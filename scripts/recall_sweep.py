@@ -32,8 +32,17 @@ def main():
     from arroy_tpu import Database, Reader, Writer
 
     rng = np.random.default_rng(42)
-    x = rng.standard_normal((M, D)).astype(np.float32)
-    q = rng.standard_normal((BATCH, D)).astype(np.float32)
+    if os.environ.get("SWEEP_DATA", "random") == "clustered":
+        parents = rng.standard_normal((64, D)).astype(np.float32)
+        pa = rng.integers(64, size=M + BATCH)
+        pb = rng.integers(64, size=M + BATCH)
+        mask = rng.random((M + BATCH, D)) < 0.5
+        allx = np.where(mask, parents[pa], parents[pb]).astype(np.float32)
+        allx += 0.05 * rng.standard_normal(allx.shape).astype(np.float32)
+        x, q = allx[:M], allx[M:]
+    else:
+        x = rng.standard_normal((M, D)).astype(np.float32)
+        q = rng.standard_normal((BATCH, D)).astype(np.float32)
 
     db = Database()
     w = Writer(db, 0, D)
@@ -50,17 +59,24 @@ def main():
     exact = r.exact_by_vectors(q, K)
     ex_sets = [set(i for i, _ in e) for e in exact]
 
+    import jax
+
     for sk in (K * TREES, 1000, 2000, 5000, 10000, 20000, 50000):
-        qb = r.nns(K).search_k(sk)
-        qb.by_vectors(q)  # warmup/compile
+        s = r.searcher(K, search_k=sk)
+        dq = s.prepare_queries(q)
+        jax.block_until_ready(s.device_fn(*dq))  # warmup/compile
         t0 = time.perf_counter()
-        iters = 3
-        for _ in range(iters):
-            got = qb.by_vectors(q)
+        iters = 10
+        outs = [s.device_fn(*dq) for _ in range(iters)]
+        jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
-        rec = np.mean([
-            len(set(i for i, _ in g) & e) / K for g, e in zip(got, ex_sets)
-        ])
+        ids = np.asarray(outs[-1][0])[:, :K]
+        dists = np.asarray(outs[-1][1])[:, :K]
+        got_sets = [
+            set(int(i) for i, d in zip(ri, rd) if not np.isnan(d))
+            for ri, rd in zip(ids, dists)
+        ]
+        rec = np.mean([len(g & e) / K for g, e in zip(got_sets, ex_sets)])
         print(
             f"search_k={sk:>6}  recall@{K}={rec:.4f}  qps={iters * BATCH / dt:8.0f}",
             flush=True,
