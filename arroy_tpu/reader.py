@@ -301,12 +301,17 @@ class Reader:
         return Searcher(self, qb)
 
     # -- exact search oracle --------------------------------------------
-    def exact_by_vectors(self, vectors, count: int) -> list[list[tuple[int, float]]]:
+    def exact_by_vectors(
+        self, vectors, count: int, fast: bool = False
+    ) -> list[list[tuple[int, float]]]:
+        """Brute-force search: the recall oracle (`fast=False` uses the
+        reference's exact distance formulas) or the MXU matmul fast path
+        (`fast=True`, ranking-equivalent for euclidean/cosine/dot)."""
         vectors = np.asarray(vectors, dtype=np.float32)
         qv = self.metric.encode_np(vectors)
         qn = self.metric.item_norms_np(qv, self.dimensions())
         qe = np.zeros(len(qv), np.float32)
-        ids, dists = exact_batch(self._device(), qv, qn, qe, count)
+        ids, dists = exact_batch(self._device(), qv, qn, qe, count, fast=fast)
         out = []
         for row_ids, row_d in zip(ids, dists):
             keep = ~np.isnan(row_d)

@@ -152,7 +152,7 @@ def _traverse_batch(
             return (pq_dist, pq_node, n_pushed, leaf_log, n_cand, pops)
 
         log0 = jnp.zeros(l_cap, jnp.int32)
-        _, _, _, leaf_log, n_cand, _ = jax.lax.while_loop(
+        _, _, _, leaf_log, n_cand, pops = jax.lax.while_loop(
             cond,
             body,
             (pq_dist, pq_node, jnp.int32(t), log0, jnp.int32(0), jnp.int32(0)),
@@ -170,7 +170,7 @@ def _traverse_batch(
         src = leaf_off[rows_l[sel_c]] + (cap_iota - start)
         total = jnp.minimum(ends[l_cap - 1], cap)
         vals = leaf_items[jnp.minimum(src, leaf_items.shape[0] - 1)]
-        return jnp.where(cap_iota < total, vals, -1)
+        return jnp.where(cap_iota < total, vals, -1), pops, n_cand
 
     def one_filtered(qv1, qf1):
         """Filtered traversal: windows must be filter-compacted inside the
@@ -232,12 +232,12 @@ def _traverse_batch(
             return (pq_dist, pq_node, n_pushed, cand, n_cand, pops)
 
         cand0 = jnp.full(cap, -1, jnp.int32)
-        _, _, _, cand, _, _ = jax.lax.while_loop(
+        _, _, _, cand, n_cand, pops = jax.lax.while_loop(
             cond,
             body,
             (pq_dist, pq_node, jnp.int32(t), cand0, jnp.int32(0), jnp.int32(0)),
         )
-        return cand
+        return cand, pops, n_cand
 
     return jax.vmap(one_filtered if has_filter else one)(qv, qf)
 
@@ -336,7 +336,7 @@ def make_search_fn(
     sk_dyn = jnp.int32(sk_exact)
 
     def fn(qv, qn, qe, qf):
-        cand = _traverse_batch(
+        cand, _, _ = _traverse_batch(
             idx.metric,
             int(sk),
             int(pmax),
@@ -422,12 +422,75 @@ def _exact_batch(metric, dims, k, rows, norms, extras, slot_to_id, live, qv, qn,
     return jax.vmap(one)(qv, qn, qe)
 
 
-def exact_batch(idx: DeviceIndex, qv, qn, qe, count: int):
+@functools.partial(jax.jit, static_argnames=("metric_name", "dims", "k"))
+def _exact_matmul(metric_name, dims, k, rows, norms, extras, slot_to_id, live, qv, qn):
+    """MXU brute force for dot-decomposable metrics.
+
+    One [B, d] x [d, M] matmul gives every query-item dot product; the
+    metric-specific distance is reconstructed from dots and norms.  This
+    is the small-corpus fast path: ranking-equivalent to the reference
+    formulas (euclidean uses ||x||^2 - 2x.q + ||q||^2, which can differ
+    in final bits from the sum-of-squares form the oracle uses).
+    """
+    dots = jax.lax.dot_general(
+        qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [B, M]
+    if metric_name == "euclidean":
+        x2 = jnp.sum(rows * rows, axis=1)
+        q2 = jnp.sum(qv * qv, axis=1)
+        d = x2[None, :] - 2.0 * dots + q2[:, None]
+        d = jnp.maximum(d, 0.0)
+        norm_fn = lambda v: jnp.sqrt(jnp.maximum(v, 0.0))
+    elif metric_name == "cosine":
+        pnqn = norms[None, :] * qn[:, None]
+        eps = jnp.float32(np.finfo(np.float32).eps)
+        cos = jnp.clip(dots / jnp.where(pnqn > eps, pnqn, 1.0), -1.0, 1.0)
+        d = jnp.where(pnqn > eps, (1.0 - cos) / 2.0, 0.0)
+        norm_fn = lambda v: v
+    else:  # dot-product
+        d = -dots
+        norm_fn = lambda v: -v
+    d = jnp.where(live[None, :], d, _INF)
+    neg, idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    ids = slot_to_id[idx]
+    return ids, jnp.where(out_d < _INF, norm_fn(out_d), jnp.float32(jnp.nan))
+
+
+def exact_batch(idx: DeviceIndex, qv, qn, qe, count: int, fast: bool = False):
     if idx.n_items == 0:
         b = np.asarray(qv).shape[0]
         return np.zeros((b, count), np.int64), np.full((b, count), np.nan, np.float32)
     live = idx.live
     k = min(count, idx.cap)
+    if fast and not idx.metric.binary and idx.metric.name in (
+        "euclidean",
+        "cosine",
+        "dot-product",
+    ):
+        ids, dists = _exact_matmul(
+            idx.metric.name,
+            idx.dims,
+            int(k),
+            idx.rows,
+            idx.norms,
+            idx.extras,
+            idx.slot_to_id,
+            live,
+            jnp.asarray(qv),
+            jnp.asarray(qn),
+        )
+        ids = np.asarray(ids).astype(np.int64)
+        dists = np.asarray(dists)
+        if k < count:
+            ids = np.concatenate(
+                [ids, np.zeros((ids.shape[0], count - k), ids.dtype)], axis=1
+            )
+            dists = np.concatenate(
+                [dists, np.full((dists.shape[0], count - k), np.nan, dists.dtype)],
+                axis=1,
+            )
+        return ids, dists
     ids, dists = _exact_batch(
         idx.metric,
         idx.dims,

@@ -168,3 +168,20 @@ def test_plot_dot_output():
     dot = r.plot_internals_tree_nodes()
     assert dot.startswith("digraph {")
     assert "root [color=blue]" in dot
+
+
+def test_exact_fast_matches_oracle_ranking():
+    from .util import build_db, random_vectors
+    import numpy as np
+
+    x = random_vectors(400, 32, seed=12)
+    db, w, r = build_db(x, n_trees=2)
+    q = random_vectors(8, 32, seed=13)  # queries distinct from items
+    a = r.exact_by_vectors(q, 10)
+    b = r.exact_by_vectors(q, 10, fast=True)
+    for ra, rb in zip(a, b):
+        # ranking-equivalent; distances agree to matmul cancellation noise
+        assert [i for i, _ in ra] == [i for i, _ in rb]
+        np.testing.assert_allclose(
+            [d for _, d in ra], [d for _, d in rb], rtol=1e-3, atol=5e-3
+        )
