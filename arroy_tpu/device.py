@@ -58,7 +58,9 @@ class DeviceIndex:
     cap: int
 
     @staticmethod
-    def build(metric: type[Metric], dims: int, store: ItemStore, forest: Forest) -> "DeviceIndex":
+    def build_np(metric: type[Metric], dims: int, store: ItemStore, forest: Forest) -> dict:
+        """Host-side pack of all index arrays (used by build() and by the
+        sharded index, which stacks several packs before upload)."""
         cap = max(store.capacity(), 1)
         sd = metric.storage_dim(dims)
         np_dtype = np.uint32 if metric.binary else np.float32
@@ -126,30 +128,55 @@ class DeviceIndex:
         node_table[:, 4] = np.where(is_leaf_node, offs_arr[li], 0)
         node_table[:, 5] = np.where(is_leaf_node, cnts_arr[li], 0)
 
-        return DeviceIndex(
-            metric=metric,
-            dims=dims,
-            rows=jnp.asarray(rows),
-            norms=jnp.asarray(norms),
-            extras=jnp.asarray(extras),
-            slot_to_id=jnp.asarray(
-                np.where(s2i >= 0, s2i, 0xFFFFFFFF).astype(np.uint32)
-            ),
-            live=jnp.asarray(s2i >= 0),
+        return dict(
+            rows=rows,
+            norms=norms,
+            extras=extras,
+            slot_to_id=np.where(s2i >= 0, s2i, 0xFFFFFFFF).astype(np.uint32),
+            live=s2i >= 0,
             slot_to_id_np=s2i,
-            kind=jnp.asarray(kind),
-            node_table=jnp.asarray(node_table),
-            left=jnp.asarray(left),
-            right=jnp.asarray(right),
-            ptr=jnp.asarray(ptr),
-            normals=jnp.asarray(normals),
-            aux=jnp.asarray(aux),
-            leaf_off=jnp.asarray(offs_arr),
-            leaf_cnt=jnp.asarray(cnts_arr),
-            leaf_items=jnp.asarray(flat),
+            kind=kind,
+            node_table=node_table,
+            left=left,
+            right=right,
+            ptr=ptr,
+            normals=normals,
+            aux=aux,
+            leaf_off=offs_arr,
+            leaf_cnt=cnts_arr,
+            leaf_items=flat,
             roots=tuple(int(r) for r in forest.roots),
             n_nodes=forest.n_nodes(),
             n_items=len(store),
             max_leaf=max_leaf,
             cap=cap,
+        )
+
+    @staticmethod
+    def build(metric: type[Metric], dims: int, store: ItemStore, forest: Forest) -> "DeviceIndex":
+        pk = DeviceIndex.build_np(metric, dims, store, forest)
+        return DeviceIndex(
+            metric=metric,
+            dims=dims,
+            rows=jnp.asarray(pk["rows"]),
+            norms=jnp.asarray(pk["norms"]),
+            extras=jnp.asarray(pk["extras"]),
+            slot_to_id=jnp.asarray(pk["slot_to_id"]),
+            live=jnp.asarray(pk["live"]),
+            slot_to_id_np=pk["slot_to_id_np"],
+            kind=jnp.asarray(pk["kind"]),
+            node_table=jnp.asarray(pk["node_table"]),
+            left=jnp.asarray(pk["left"]),
+            right=jnp.asarray(pk["right"]),
+            ptr=jnp.asarray(pk["ptr"]),
+            normals=jnp.asarray(pk["normals"]),
+            aux=jnp.asarray(pk["aux"]),
+            leaf_off=jnp.asarray(pk["leaf_off"]),
+            leaf_cnt=jnp.asarray(pk["leaf_cnt"]),
+            leaf_items=jnp.asarray(pk["leaf_items"]),
+            roots=pk["roots"],
+            n_nodes=pk["n_nodes"],
+            n_items=pk["n_items"],
+            max_leaf=pk["max_leaf"],
+            cap=pk["cap"],
         )

@@ -42,7 +42,6 @@ from .ops.binary import (
     hamming_rowwise,
     pack_bits_np,
     padded_dim,
-    unpack_bits_full_np,
     unpack_bits_jnp,
     unpack_bits_np,
 )
@@ -106,6 +105,16 @@ class Metric:
     def margin(cls, normals: jax.Array, aux: jax.Array, q: jax.Array, qf) -> jax.Array:
         """margin = base_dot + aux * qf (see module docstring)."""
         return cls.base_dot(normals, q) + aux * qf
+
+    @classmethod
+    def margin_matrix(cls, normals, aux, qv, qf) -> jax.Array:
+        """All margins of a query batch against every split plane: [B, S].
+
+        The traversal precomputes this once (an MXU matmul for f32
+        metrics) so its pop loop only does scalar lookups.
+        """
+        base = cls.base_dot(normals[None, :, :], qv[:, None, :])
+        return base + aux[None, :] * qf[:, None]
 
     # -- built distance + normalization (query re-score) ---------------
     @classmethod
@@ -177,6 +186,13 @@ class _F32Metric(Metric):
     @classmethod
     def base_dot(cls, a, b):
         return jnp.sum(a * b, axis=-1)
+
+    @classmethod
+    def margin_matrix(cls, normals, aux, qv, qf):
+        dots = jax.lax.dot_general(
+            qv, normals, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dots + aux[None, :] * qf[:, None]
 
 
 class _BQMetric(Metric):

@@ -1,0 +1,299 @@
+"""Corpus-sharded forest index over a device mesh.
+
+Scale-out for corpora that exceed one chip's HBM: items are partitioned
+across the mesh's `shard` axis, each shard builds its own sub-forest
+over its local items, and a query fans out to every shard's forest in
+one `shard_map` — per-shard best-first traversal + exact re-score on
+local data, then an `all_gather` of per-shard top-k and a replicated
+merge on raw distances.  ICI carries only ``n_shards * k`` scalars per
+query.
+
+Semantics: with per-shard ``search_k' = ceil(search_k / n_shards)`` the
+total candidate budget matches the single-chip engine; recall/latency
+behavior is that of `n_shards` independent arroy indexes whose results
+are merged exactly (the standard sharded-ANN construction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..device import DeviceIndex
+from ..metrics import resolve_metric
+from ..models.forest import KIND_FREE
+from ..search import _next_pow2, _rescore_impl, _traverse_impl
+from ..store.database import Database
+from ..writer import Writer
+from .mesh import AXIS
+
+
+def _pad_to(arr: np.ndarray, n: int, fill) -> np.ndarray:
+    if arr.shape[0] >= n:
+        return arr
+    pad_shape = (n - arr.shape[0],) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, dtype=arr.dtype)])
+
+
+class ShardedForestIndex:
+    """n_shards independent sub-forests queried in lock-step on the mesh."""
+
+    def __init__(self, mesh: Mesh, packs: list[dict], metric, dims: int):
+        self.mesh = mesh
+        self.metric = metric
+        self.dims = dims
+        n = mesh.devices.size
+        assert len(packs) == n
+
+        # common static geometry across shards
+        self.max_leaf = max(p["max_leaf"] for p in packs)
+        self.n_nodes = max(p["n_nodes"] for p in packs)
+        self.n_items_total = sum(p["n_items"] for p in packs)
+        self.n_items_shard_max = max(p["n_items"] for p in packs)
+        self.csr_total = min(
+            int(p["leaf_items"].shape[0]) - p["max_leaf"] for p in packs
+        )
+        t = max(len(p["roots"]) for p in packs)
+        self.n_trees = t
+
+        def stack(key, fill):
+            n_rows = max(p[key].shape[0] for p in packs)
+            return np.stack([_pad_to(p[key], n_rows, fill) for p in packs])
+
+        roots = np.stack(
+            [
+                _pad_to(np.asarray(p["roots"], np.int32), t, 0)
+                for p in packs
+            ]
+        )
+        # pad node tables with FREE rows so stray ids read as dead nodes
+        node_tables = []
+        n_rows = max(p["node_table"].shape[0] for p in packs)
+        for p in packs:
+            nt = p["node_table"]
+            if nt.shape[0] < n_rows:
+                pad = np.zeros((n_rows - nt.shape[0], 8), np.int32)
+                pad[:, 0] = KIND_FREE
+                nt = np.concatenate([nt, pad])
+            node_tables.append(nt)
+
+        sh = lambda *spec: NamedSharding(mesh, P(*spec))
+        put = lambda a, spec: jax.device_put(jnp.asarray(a), sh(*spec))
+        self.node_table = put(np.stack(node_tables), (AXIS, None, None))
+        self.normals = put(stack("normals", 0), (AXIS, None, None))
+        self.aux = put(stack("aux", 0.0), (AXIS, None))
+        self.leaf_off = put(stack("leaf_off", 0), (AXIS, None))
+        self.leaf_cnt = put(stack("leaf_cnt", 0), (AXIS, None))
+        self.leaf_items = put(stack("leaf_items", -1), (AXIS, None))
+        self.roots = put(roots, (AXIS, None))
+        self.rows = put(stack("rows", 0), (AXIS, None, None))
+        self.norms = put(stack("norms", 0.0), (AXIS, None))
+        self.extras = put(stack("extras", 0.0), (AXIS, None))
+        self.slot_to_id = put(stack("slot_to_id", 0xFFFFFFFF), (AXIS, None))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def build(
+        mesh: Mesh,
+        vectors: np.ndarray,
+        metric="euclidean",
+        ids: np.ndarray | None = None,
+        n_trees: int | None = None,
+        split_after: int | None = None,
+        seed: int = 42,
+    ) -> "ShardedForestIndex":
+        """Partition items round-robin and build one sub-forest per shard."""
+        metric = resolve_metric(metric)
+        vectors = np.asarray(vectors, np.float32)
+        m, dims = vectors.shape
+        if ids is None:
+            ids = np.arange(m, dtype=np.uint32)
+        n = mesh.devices.size
+        packs = []
+        for s in range(n):
+            sel = np.arange(s, m, n)
+            db = Database()
+            w = Writer(db, 0, dims, metric=metric)
+            with db.write() as wtxn:
+                if len(sel):
+                    w.add_items(wtxn, ids[sel], vectors[sel])
+                b = w.builder(seed=seed + s)
+                if n_trees is not None:
+                    b.n_trees(n_trees)
+                if split_after is not None:
+                    b.split_after(split_after)
+                b.build(wtxn)
+            st = db.read().state(0)
+            packs.append(DeviceIndex.build_np(metric, dims, st.store, st.forest))
+        return ShardedForestIndex(mesh, packs, metric, dims)
+
+    # ------------------------------------------------------------------
+    def search(self, queries: np.ndarray, count: int, search_k: int | None = None):
+        """Fan-out query: returns (ids [B, count] int64, dists [B, count])."""
+        metric, dims = self.metric, self.dims
+        n = self.mesh.devices.size
+        if search_k is None:
+            search_k = count * self.n_trees * n
+        sk_local = min(
+            max(-(-search_k // n), count), max(self.csr_total, 1)
+        )
+        sk = _next_pow2(sk_local)
+        t = self.n_trees
+        pmax = min(self.n_nodes + t, 2 * t + 2 * sk_local + 64)
+        if sk_local >= self.n_items_shard_max:
+            pmax = self.n_nodes + t
+        k = max(min(_next_pow2(count), sk + self.max_leaf), 1)
+
+        qv = metric.encode_np(queries.astype(np.float32))
+        qn = metric.item_norms_np(qv, dims)
+        qe = np.zeros(len(qv), np.float32)
+        qf = (
+            np.zeros(len(qv), np.float32)
+            if metric.has_extra
+            else np.ones(len(qv), np.float32)
+        )
+        rep = NamedSharding(self.mesh, P(*([None] * 2)))
+        rep1 = NamedSharding(self.mesh, P(None))
+        ids, dists = _sharded_forest_search(
+            self.mesh,
+            metric,
+            dims,
+            int(sk),
+            int(pmax),
+            int(self.max_leaf),
+            int(k),
+            int(count),
+            self.node_table,
+            self.normals,
+            self.aux,
+            self.leaf_off,
+            self.leaf_cnt,
+            self.leaf_items,
+            self.roots,
+            self.rows,
+            self.norms,
+            self.extras,
+            self.slot_to_id,
+            jax.device_put(jnp.asarray(qv), rep),
+            jax.device_put(jnp.asarray(qn), rep1),
+            jax.device_put(jnp.asarray(qe), rep1),
+            jax.device_put(jnp.asarray(qf), rep1),
+            jnp.int32(sk_local),
+        )
+        return np.asarray(ids).astype(np.int64), np.asarray(dists)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "metric", "dims", "sk", "pmax", "w", "k", "count"),
+)
+def _sharded_forest_search(
+    mesh,
+    metric,
+    dims,
+    sk,
+    pmax,
+    w,
+    k,
+    count,
+    node_table,
+    normals,
+    aux,
+    leaf_off,
+    leaf_cnt,
+    leaf_items,
+    roots,
+    rows,
+    norms,
+    extras,
+    slot_to_id,
+    qv,
+    qn,
+    qe,
+    qf,
+    sk_dyn,
+):
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS, None, None),  # node_table
+            P(AXIS, None, None),  # normals
+            P(AXIS, None),  # aux
+            P(AXIS, None),  # leaf_off
+            P(AXIS, None),  # leaf_cnt
+            P(AXIS, None),  # leaf_items
+            P(AXIS, None),  # roots
+            P(AXIS, None, None),  # rows
+            P(AXIS, None),  # norms
+            P(AXIS, None),  # extras
+            P(AXIS, None),  # slot_to_id
+            P(None, None),  # qv
+            P(None),
+            P(None),
+            P(None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs replicated after all_gather+top_k
+    )
+    def step(nt, nr, ax, lo, lc, li, rt, rw, nm, ex, s2i, qv_r, qn_r, qe_r, qf_r):
+        nt, nr, ax = nt[0], nr[0], ax[0]
+        lo, lc, li, rt = lo[0], lc[0], li[0], rt[0]
+        rw, nm, ex, s2i = rw[0], nm[0], ex[0], s2i[0]
+        cand, _, _ = _traverse_impl(
+            metric,
+            sk,
+            pmax,
+            w,
+            False,
+            nt,
+            nr,
+            ax,
+            lo,
+            lc,
+            li,
+            rt,
+            qv_r,
+            qf_r,
+            jnp.zeros(1, jnp.uint32),
+            sk_dyn,
+        )
+        loc_ids, loc_d = _rescore_impl(
+            metric, dims, k, rw, nm, ex, s2i, cand, qv_r, qn_r, qe_r, normalize=False
+        )
+        # merge across shards on raw built distances (ascending = better
+        # for every metric); ICI traffic is n*k scalars per query
+        all_d = jax.lax.all_gather(loc_d, AXIS, axis=1, tiled=True)  # [B, n*k]
+        all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
+        kfin = min(count, all_d.shape[1])
+        neg, idx = jax.lax.top_k(-all_d, kfin)
+        out_d = -neg
+        out_ids = jnp.take_along_axis(all_ids, idx, axis=1)
+        out_d = jnp.where(
+            out_d < jnp.inf,
+            metric.normalized_distance(out_d, dims),
+            jnp.float32(jnp.nan),
+        )
+        return out_ids, out_d
+
+    return step(
+        node_table,
+        normals,
+        aux,
+        leaf_off,
+        leaf_cnt,
+        leaf_items,
+        roots,
+        rows,
+        norms,
+        extras,
+        slot_to_id,
+        qv,
+        qn,
+        qe,
+        qf,
+    )

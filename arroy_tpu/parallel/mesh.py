@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..metrics import Metric, resolve_metric
+from ..metrics import resolve_metric
 
 AXIS = "shard"
 

@@ -18,7 +18,6 @@ import numpy as np
 
 from .errors import (
     InvalidVecDimension,
-    MissingKey,
     MissingMetadata,
     NeedBuild,
     UnmatchingDistance,

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .device import DeviceIndex
-from .models.forest import KIND_LEAF, KIND_SPLIT_NONE
+from .models.forest import KIND_FREE, KIND_LEAF, KIND_SPLIT_NONE
 
 _INF = jnp.float32(jnp.inf)
 #: candidate-axis chunk for the re-score gather ([B, chunk, d] temporary)
@@ -60,11 +60,7 @@ def pops_budget(idx: DeviceIndex, search_k: int, exhaustive: bool) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("metric", "search_k", "pmax", "w", "has_filter"),
-)
-def _traverse_batch(
+def _traverse_impl(
     metric,
     search_k,
     pmax,
@@ -84,6 +80,7 @@ def _traverse_batch(
 ):
     """Collect up to `search_k` candidate slots per query (-1 padded)."""
     t = roots.shape[0]
+    s_rows = normals.shape[0]
     q_cap = t + pmax
     cap = search_k + w  # slot `cap` is the trash lane for masked writes
 
@@ -95,7 +92,12 @@ def _traverse_batch(
     l_cap = min(search_k, pmax) + 1
     l_iota = jnp.arange(l_cap, dtype=jnp.int32)
 
-    def one(qv1, qf1):
+    # every query-vs-split margin up front: one MXU matmul, so the pop
+    # loop below never touches the d-wide normals (an in-loop [d] gather
+    # + dot was ~100x the rest of the body)
+    margins_all = metric.margin_matrix(normals, aux, qv, qf)  # [B, S]
+
+    def one(qv1, qf1, margins1):
         pq_dist = jnp.where(q_iota < t, _INF, -_INF)
         pq_node = jnp.where(q_iota < t, roots[jnp.minimum(q_iota, t - 1)], 0)
 
@@ -122,7 +124,9 @@ def _traverse_batch(
             knd = row[0]
             p = row[3]
             is_leaf = alive & (knd == KIND_LEAF)
-            is_split = alive & ~is_leaf
+            # FREE rows (deleted nodes, sharding padding) pop as no-ops so
+            # a dangling id drains the queue instead of spinning on it
+            is_split = alive & ~is_leaf & (knd != KIND_FREE)
 
             # --- leaf lane: count (and log) the window ---
             cnt = jnp.where(is_leaf, row[5], 0)
@@ -133,11 +137,9 @@ def _traverse_batch(
             )
             n_cand = n_cand + cnt
 
-            # --- split lane: margin + two pushes (select-based updates) ---
+            # --- split lane: precomputed margin + two pushes ---
             margin = jnp.where(
-                knd == KIND_SPLIT_NONE,
-                0.0,
-                metric.base_dot(normals[p], qv1) + aux[p] * qf1,
+                knd == KIND_SPLIT_NONE, 0.0, margins1[jnp.minimum(p, s_rows - 1)]
             )
             dl = jnp.minimum(m, -margin)
             dr = jnp.minimum(m, margin)
@@ -172,7 +174,7 @@ def _traverse_batch(
         vals = leaf_items[jnp.minimum(src, leaf_items.shape[0] - 1)]
         return jnp.where(cap_iota < total, vals, -1), pops, n_cand
 
-    def one_filtered(qv1, qf1):
+    def one_filtered(qv1, qf1, margins1):
         """Filtered traversal: windows must be filter-compacted inside the
         loop (the accepted items of a leaf are not contiguous in the CSR, and
         only they count toward search_k — reference src/reader.rs:354-360).
@@ -196,7 +198,9 @@ def _traverse_batch(
             knd = row[0]
             p = row[3]
             is_leaf = alive & (knd == KIND_LEAF)
-            is_split = alive & ~is_leaf
+            # FREE rows (deleted nodes, sharding padding) pop as no-ops so
+            # a dangling id drains the queue instead of spinning on it
+            is_split = alive & ~is_leaf & (knd != KIND_FREE)
 
             off = row[4]
             cnt = jnp.where(is_leaf, row[5], 0)
@@ -215,9 +219,7 @@ def _traverse_batch(
             n_cand = n_cand + n_valid
 
             margin = jnp.where(
-                knd == KIND_SPLIT_NONE,
-                0.0,
-                metric.base_dot(normals[p], qv1) + aux[p] * qf1,
+                knd == KIND_SPLIT_NONE, 0.0, margins1[jnp.minimum(p, s_rows - 1)]
             )
             dl = jnp.minimum(m, -margin)
             dr = jnp.minimum(m, margin)
@@ -239,7 +241,13 @@ def _traverse_batch(
         )
         return cand, pops, n_cand
 
-    return jax.vmap(one_filtered if has_filter else one)(qv, qf)
+    return jax.vmap(one_filtered if has_filter else one)(qv, qf, margins_all)
+
+
+_traverse_batch = functools.partial(
+    jax.jit,
+    static_argnames=("metric", "search_k", "pmax", "w", "has_filter"),
+)(_traverse_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -247,9 +255,8 @@ def _traverse_batch(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "dims", "k"))
-def _rescore_batch(
-    metric, dims, k, rows, norms, extras, slot_to_id, cand, qv, qn, qe
+def _rescore_impl(
+    metric, dims, k, rows, norms, extras, slot_to_id, cand, qv, qn, qe, normalize=True
 ):
     b, cap = cand.shape
     valid0 = cand >= 0
@@ -293,10 +300,17 @@ def _rescore_batch(
     neg, top_idx = jax.lax.top_k(-d, k)
     out_d = -neg
     out_ids = jnp.take_along_axis(ids_s, top_idx, axis=1)
+    if not normalize:
+        return out_ids, out_d  # raw built distances, +inf where invalid
     out_d = jnp.where(
         out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
     )
     return out_ids, out_d
+
+
+_rescore_batch = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k", "normalize")
+)(_rescore_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -21,8 +21,6 @@ import threading
 from dataclasses import dataclass, field
 from typing import Optional
 
-import numpy as np
-
 from ..errors import ArroyError
 from ..metrics import Metric, resolve_metric
 from ..models.forest import Forest

@@ -26,26 +26,17 @@ from __future__ import annotations
 
 import math
 import sys
-from dataclasses import dataclass, field
-from typing import Callable, Iterator, Optional
+from dataclasses import dataclass
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .builder import BuildContext, grow_trees, route_items
-from .errors import (
-    InvalidItemAppend,
-    InvalidVecDimension,
-)
+from .errors import InvalidItemAppend
 from .metrics import Metric, resolve_metric
-from .models.forest import (
-    KIND_LEAF,
-    KIND_SPLIT,
-    KIND_SPLIT_NONE,
-    Forest,
-    NodeIdAllocator,
-)
+from .models.forest import KIND_LEAF, Forest, NodeIdAllocator
 from .progress import CancelFn, MainStep, ProgressFn, SubStep, WriterProgress
 from .store.database import Database, IndexState, Metadata, WriteTxn
 from .utils.itemset import ItemSet

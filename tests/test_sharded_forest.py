@@ -1,0 +1,59 @@
+"""Sharded forest index on the 8-device virtual CPU mesh."""
+
+import numpy as np
+
+from arroy_tpu.parallel.forest import ShardedForestIndex
+from arroy_tpu.parallel.mesh import make_mesh
+
+from .util import random_vectors
+
+
+def _exact_ids(x, q, k):
+    d = np.sum((x[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+    return np.argsort(d, axis=1)[:, :k]
+
+
+def test_sharded_forest_exhaustive_matches_exact():
+    x = random_vectors(400, 16, seed=1)
+    mesh = make_mesh()
+    idx = ShardedForestIndex.build(mesh, x, n_trees=3, seed=5)
+    q = x[:6]
+    ids, dists = idx.search(q, 10, search_k=10**7)
+    want = _exact_ids(x, q, 10)
+    for b in range(len(q)):
+        assert set(ids[b]) == set(want[b]), (ids[b], want[b])
+        assert ids[b][0] == b  # self-match first
+    # distances are normalized (sqrt of squared L2)
+    d0 = np.linalg.norm(x[ids[0][1]] - x[0])
+    np.testing.assert_allclose(dists[0][1], d0, rtol=1e-4)
+
+
+def test_sharded_forest_recall_default_search_k():
+    x = random_vectors(800, 16, seed=2)
+    mesh = make_mesh()
+    idx = ShardedForestIndex.build(mesh, x, n_trees=4, seed=7)
+    q = x[:32]
+    ids, _ = idx.search(q, 10, search_k=4 * 10 * 20 * 8)
+    want = _exact_ids(x, q, 10)
+    hits = sum(len(set(ids[b]) & set(want[b])) for b in range(len(q)))
+    assert hits / (len(q) * 10) > 0.85
+
+
+def test_sharded_forest_uneven_items():
+    # 401 items over 8 shards: unequal shard sizes + padding paths
+    x = random_vectors(401, 8, seed=3)
+    mesh = make_mesh()
+    idx = ShardedForestIndex.build(mesh, x, n_trees=2, seed=9)
+    ids, dists = idx.search(x[:3], 5, search_k=10**7)
+    want = _exact_ids(x, x[:3], 5)
+    for b in range(3):
+        assert set(ids[b]) == set(want[b])
+
+
+def test_sharded_forest_cosine():
+    x = random_vectors(256, 8, seed=4)
+    mesh = make_mesh()
+    idx = ShardedForestIndex.build(mesh, x, metric="cosine", n_trees=2, seed=11)
+    ids, dists = idx.search(x[:4], 5, search_k=10**7)
+    assert ids[0][0] == 0
+    assert abs(dists[0][0]) < 1e-5
