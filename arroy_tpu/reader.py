@@ -165,9 +165,15 @@ class QueryBuilder:
 
 
 class Searcher:
-    """Compiled device-resident search handle bound to one snapshot."""
+    """Compiled device-resident search handle bound to one snapshot.
 
-    def __init__(self, reader: "Reader", qb: QueryBuilder):
+    ``rescore="auto"`` picks the MXU matmul re-score when the candidate
+    volume exceeds the corpus size (ranking-equivalent; near-zero
+    euclidean distances carry matmul noise); ``"exact"`` always uses the
+    reference's per-pair formulas.
+    """
+
+    def __init__(self, reader: "Reader", qb: QueryBuilder, rescore: str = "auto"):
         from .search import make_search_fn
 
         self._reader = reader
@@ -184,7 +190,7 @@ class Searcher:
                 else np.empty(0, np.int64)
             )
         self.device_fn = make_search_fn(
-            dev, qb._count, qb._effective_search_k(), filter_slots
+            dev, qb._count, qb._effective_search_k(), filter_slots, rescore=rescore
         )
         self._dev = dev
 
@@ -283,6 +289,7 @@ class Reader:
         search_k: int | None = None,
         oversampling: int | None = None,
         candidates=None,
+        rescore: str = "auto",
     ) -> "Searcher":
         """A bound, compiled serving handle (the TPU-native hot path).
 
@@ -297,7 +304,7 @@ class Reader:
             qb.oversampling(oversampling)
         if candidates is not None:
             qb.candidates(candidates)
-        return Searcher(self, qb)
+        return Searcher(self, qb, rescore=rescore)
 
     # -- exact search oracle --------------------------------------------
     def exact_by_vectors(

@@ -313,6 +313,76 @@ _rescore_batch = functools.partial(
 )(_rescore_impl)
 
 
+def _rescore_matmul_impl(
+    metric, dims, k, rows, norms, extras, slot_to_id, live, cand, qv, qn, qe,
+    normalize=True,
+):
+    """MXU re-score: one [B,d]x[d,M] matmul + per-candidate value gather.
+
+    When B*cap >= M every item row is cheaper to stream once through the
+    MXU than to gather per candidate.  Ranking-equivalent to the exact
+    re-score; euclidean distances carry matmul-cancellation noise near
+    zero (same caveat as `_exact_matmul`).  f32 dot-decomposable metrics
+    only — callers fall back to `_rescore_impl` otherwise.
+    """
+    b, cap = cand.shape
+    valid0 = cand >= 0
+    ids = slot_to_id[jnp.maximum(cand, 0)]
+    order = jnp.lexsort((ids, ~valid0))
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    valid_s = jnp.take_along_axis(valid0, order, axis=1)
+    slots_s = jnp.take_along_axis(cand, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), (ids_s[:, 1:] == ids_s[:, :-1]) & valid_s[:, :-1]],
+        axis=1,
+    )
+    invalid = ~valid_s | dup
+    slots_c = jnp.maximum(slots_s, 0)
+
+    dots_full = jax.lax.dot_general(
+        qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [B, M]
+    dots = jnp.take_along_axis(dots_full, slots_c, axis=1)  # [B, cap]
+    if metric.name == "euclidean":
+        x2 = jnp.sum(rows * rows, axis=1)
+        q2 = jnp.sum(qv * qv, axis=1)
+        d = jnp.maximum(x2[slots_c] - 2.0 * dots + q2[:, None], 0.0)
+    elif metric.name == "cosine":
+        pnqn = norms[slots_c] * qn[:, None]
+        eps = jnp.float32(np.finfo(np.float32).eps)
+        cos = jnp.clip(dots / jnp.where(pnqn > eps, pnqn, 1.0), -1.0, 1.0)
+        d = jnp.where(pnqn > eps, (1.0 - cos) / 2.0, 0.0)
+    else:  # dot-product
+        d = -dots
+    d = jnp.where(invalid, _INF, d)
+    neg, top_idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    out_ids = jnp.take_along_axis(ids_s, top_idx, axis=1)
+    if not normalize:
+        return out_ids, out_d
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    return out_ids, out_d
+
+
+_rescore_matmul = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k", "normalize")
+)(_rescore_matmul_impl)
+
+#: corpora larger than this skip the matmul re-score (the [B, M] dot
+#: matrix would dominate memory)
+_MATMUL_RESCORE_MAX_ITEMS = 300_000
+
+
+def rescore_mode(metric, b: int, cap: int, m: int, want: str = "auto") -> str:
+    if want == "exact" or metric.binary or metric.name == "manhattan":
+        return "exact"
+    if want == "matmul":
+        return "matmul"
+    return "matmul" if b * cap >= m and m <= _MATMUL_RESCORE_MAX_ITEMS else "exact"
+
+
 # ---------------------------------------------------------------------------
 # serving handle: a bound device-to-device search function
 # ---------------------------------------------------------------------------
@@ -323,6 +393,7 @@ def make_search_fn(
     count: int,
     search_k: int,
     filter_slots: np.ndarray | None = None,
+    rescore: str = "exact",
 ):
     """Return a device-resident search callable (the serving hot path).
 
@@ -368,6 +439,24 @@ def make_search_fn(
             filter_words,
             sk_dyn,
         )
+        mode = rescore_mode(
+            idx.metric, int(qv.shape[0]), int(cand.shape[1]), idx.n_items, rescore
+        )
+        if mode == "matmul":
+            return _rescore_matmul(
+                idx.metric,
+                idx.dims,
+                int(k),
+                idx.rows,
+                idx.norms,
+                idx.extras,
+                idx.slot_to_id,
+                idx.live,
+                cand,
+                qv,
+                qn,
+                qe,
+            )
         return _rescore_batch(
             idx.metric,
             idx.dims,
