@@ -247,8 +247,13 @@ class BuildContext:
     cancel: Callable[[], bool] = lambda: False
     #: memory budget expressed as max items per tree-building batch
     budget_items: int | None = None
+    #: staged split-plane chunks: matrices [n_i, sd] (numpy for committed
+    #: rows, DEVICE arrays for freshly built levels — they are only pulled
+    #: to the host once, at finalize, because every device->host transfer
+    #: through the dev tunnel costs ~30ms + ~10MB/s)
     staging_normals: list = field(default_factory=list)
     staging_aux: list = field(default_factory=list)
+    staging_rows: int = 0
     on_items_indexed: Callable[[int], None] = lambda n: None
 
     def check_cancel(self) -> None:
@@ -257,10 +262,32 @@ class BuildContext:
 
             raise BuildCancelled()
 
-    def stage_normal(self, normal_row: np.ndarray, aux: float) -> int:
-        self.staging_normals.append(normal_row)
-        self.staging_aux.append(np.float32(aux))
-        return len(self.staging_normals) - 1
+    def stage_chunk(self, matrix, aux: np.ndarray) -> int:
+        """Append a chunk of normal rows; returns the base row index."""
+        base = self.staging_rows
+        self.staging_normals.append(matrix)
+        self.staging_aux.append(np.asarray(aux, np.float32))
+        self.staging_rows += int(matrix.shape[0])
+        return base
+
+    def staging_matrix_np(self) -> np.ndarray:
+        sd = self.rows_dev.shape[1]
+        np_dtype = np.uint32 if self.metric.binary else np.float32
+        if not self.staging_normals:
+            return np.zeros((0, sd), np_dtype)
+        return np.concatenate([np.asarray(c) for c in self.staging_normals])
+
+    def staging_aux_np(self) -> np.ndarray:
+        if not self.staging_aux:
+            return np.zeros(0, np.float32)
+        return np.concatenate([np.asarray(c) for c in self.staging_aux])
+
+    def staging_matrix_dev(self):
+        sd = self.rows_dev.shape[1]
+        np_dtype = np.uint32 if self.metric.binary else np.float32
+        if not self.staging_normals:
+            return jnp.zeros((1, sd), np_dtype)
+        return jnp.concatenate([jnp.asarray(c) for c in self.staging_normals])
 
 
 def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> None:
@@ -346,10 +373,19 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             jnp.asarray(sp),
             level_key,
         )
-        left_cnt = np.asarray(left_cnt_d)[:g]
-        none_mask = np.asarray(none_d)[:g]
-        normals = np.asarray(normals_d)[:g]
-        aux = np.asarray(aux_d)[:g]
+        # one bundled small fetch (counts, fallback flags, biases); the
+        # d-wide normals stay on device and are staged as a device chunk
+        left_cnt, none_mask, aux = jax.device_get((left_cnt_d, none_d, aux_d))
+        left_cnt, none_mask, aux = left_cnt[:g], none_mask[:g], aux[:g]
+
+        staged_idx = np.nonzero(seg_split[:g] & ~none_mask)[0]
+        row_of_seg = np.full(g, -1, np.int64)
+        if len(staged_idx):
+            base = ctx.stage_chunk(
+                jnp.take(normals_d, jnp.asarray(staged_idx, dtype=jnp.int32), axis=0),
+                aux[staged_idx],
+            )
+            row_of_seg[staged_idx] = base + np.arange(len(staged_idx))
 
         new_starts, new_lens, new_nodes, new_split = [], [], [], []
         indexed_now = 0
@@ -367,8 +403,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             if none_mask[i]:
                 ctx.forest.put_split(nid, l_id, r_id, None, 0.0)
             else:
-                row = ctx.stage_normal(normals[i], float(aux[i]))
-                ctx.forest.put_split(nid, l_id, r_id, row, float(aux[i]))
+                ctx.forest.put_split(nid, l_id, r_id, int(row_of_seg[i]), float(aux[i]))
             for cid, cs, cl in ((l_id, s, lc), (r_id, s + lc, ln - lc)):
                 splits = cl > ctx.split_after
                 new_starts.append(cs)

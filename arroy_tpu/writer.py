@@ -327,14 +327,14 @@ class Writer:
             item_bytes = 4 + (sd * 4)
             budget_items = max(opt.available_memory // item_bytes, dims + 1)
 
-        staging = (
-            [forest.normals[i] for i in range(forest.normals.shape[0])]
-            if forest.normals is not None
-            else []
-        )
-        staging_aux = [np.float32(a) for a in forest.aux]
+        staging = []
+        staging_aux = []
+        staged_rows = 0
+        if forest.normals is not None and forest.normals.shape[0]:
+            staging = [forest.normals]
+            staging_aux = [np.asarray(forest.aux, np.float32)]
+            staged_rows = int(forest.normals.shape[0])
 
-        total_to_index = 0
         sub = SubStep("items", max(len(item_ids), 1))
 
         def on_indexed(n: int) -> None:
@@ -354,6 +354,7 @@ class Writer:
             budget_items=budget_items,
             staging_normals=staging,
             staging_aux=staging_aux,
+            staging_rows=staged_rows,
             on_items_indexed=on_indexed,
         )
 
@@ -365,10 +366,10 @@ class Writer:
         descendants: dict[int, ItemSet] = {}
         if len(to_insert) and roots:
             insert_slots = st.store.slots_of(to_insert.ids)
-            normals_matrix = jnp.asarray(
-                np.stack(staging) if staging else np.zeros((1, sd), np_dtype)
-            )
-            aux_lookup = np.asarray(staging_aux, np.float32) if staging_aux else np.zeros(1, np.float32)
+            normals_matrix = ctx.staging_matrix_dev()
+            aux_lookup = ctx.staging_aux_np()
+            if not len(aux_lookup):
+                aux_lookup = np.zeros(1, np.float32)
             routed = route_items(
                 ctx,
                 normals_matrix,
@@ -408,14 +409,7 @@ class Writer:
         # 8. metadata + version (reference: src/writer.rs:609-628)
         opt.progress(WriterProgress(MainStep.WRITE_THE_METADATA))
         forest.roots = roots
-        forest.repack_normals(
-            np.stack(ctx.staging_normals)
-            if ctx.staging_normals
-            else np.zeros((0, sd), np_dtype),
-            np.asarray(ctx.staging_aux, np.float32)
-            if ctx.staging_aux
-            else np.zeros(0, np.float32),
-        )
+        forest.repack_normals(ctx.staging_matrix_np(), ctx.staging_aux_np())
         st.metadata = Metadata(dims, all_items, list(roots), metric.name)
         st.version = CURRENT_VERSION
 
@@ -459,18 +453,10 @@ class Writer:
             batch, rest = slots[mask], slots[~mask]
             grow_trees(ctx, [(nid, batch)], jax.random.fold_in(key, nid))
             # route the remainder through the fresh skeleton in budget batches
-            sd = ctx.rows_dev.shape[1]
-            np_dtype = np.uint32 if ctx.metric.binary else np.float32
-            normals_matrix = jnp.asarray(
-                np.stack(ctx.staging_normals)
-                if ctx.staging_normals
-                else np.zeros((1, sd), np_dtype)
-            )
-            aux_lookup = (
-                np.asarray(ctx.staging_aux, np.float32)
-                if ctx.staging_aux
-                else np.zeros(1, np.float32)
-            )
+            normals_matrix = ctx.staging_matrix_dev()
+            aux_lookup = ctx.staging_aux_np()
+            if not len(aux_lookup):
+                aux_lookup = np.zeros(1, np.float32)
             off = 0
             routed_all: dict[int, list[np.ndarray]] = {}
             while off < len(rest):

@@ -1,0 +1,59 @@
+"""The compiled serving handle (Reader.searcher)."""
+
+import jax
+import numpy as np
+
+from arroy_tpu import ItemSet
+
+from .util import build_db, random_vectors
+
+
+def test_searcher_matches_query_builder():
+    x = random_vectors(300, 16, seed=1)
+    db, w, r = build_db(x, n_trees=4)
+    q = x[:16]
+    want = r.nns(5).search_k(2000).by_vectors(q)
+    s = r.searcher(5, search_k=2000, rescore="exact")
+    got = s(q)
+    assert got == want
+
+
+def test_searcher_device_fn_pipeline():
+    x = random_vectors(200, 16, seed=2)
+    db, w, r = build_db(x, n_trees=2)
+    s = r.searcher(5, search_k=500)
+    dq = s.prepare_queries(x[:8])
+    outs = [s.device_fn(*dq) for _ in range(3)]
+    jax.block_until_ready(outs)
+    ids = np.asarray(outs[-1][0])
+    assert ids.shape[0] == 8
+    assert int(ids[0][0]) == 0
+
+
+def test_searcher_with_candidates():
+    x = random_vectors(150, 8, seed=3)
+    db, w, r = build_db(x, n_trees=2)
+    filt = ItemSet([2, 4, 8, 16, 32])
+    s = r.searcher(5, search_k=10**6, candidates=filt)
+    got = s(x[:4])
+    for row in got:
+        assert set(i for i, _ in row) <= {2, 4, 8, 16, 32}
+        assert len(row) == 5
+
+
+def test_searcher_snapshot_isolation():
+    from arroy_tpu import Reader
+
+    x = random_vectors(100, 8, seed=4)
+    db, w, r = build_db(x, n_trees=2)
+    s = r.searcher(3, search_k=10**6)
+    with db.write() as wtxn:
+        w.del_item(wtxn, 0)
+        w.builder(seed=9).n_trees(2).build(wtxn)
+    # the old handle still answers from its snapshot
+    got = s(x[:1])
+    assert got[0][0][0] == 0
+    # a new reader sees the delete
+    r2 = Reader.open(db.read(), 0, db)
+    got2 = r2.searcher(3, search_k=10**6)(x[:1])
+    assert got2[0][0][0] != 0
