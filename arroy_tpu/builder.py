@@ -238,15 +238,23 @@ class BuildContext:
     metric: type[Metric]
     dims: int
     split_after: int
-    rows_dev: jax.Array  # [cap, sd] device item matrix
-    extras_dev: jax.Array  # [cap]
-    hnorms_dev: jax.Array  # [cap]
+    #: device item matrix [cap, sd] — None in streaming mode, where the
+    #: matrix lives on the HOST and per-batch slot subsets are uploaded
+    #: on demand (the HBM analog of the reference's fit_in_memory,
+    #: src/writer.rs:1536-1584)
+    rows_dev: jax.Array | None
+    extras_dev: jax.Array | None
+    hnorms_dev: jax.Array | None
     slot_to_id: np.ndarray  # [cap] int64, -1 for free slots
     forest: Forest
     alloc: NodeIdAllocator
     cancel: Callable[[], bool] = lambda: False
     #: memory budget expressed as max items per tree-building batch
     budget_items: int | None = None
+    #: host master copies, present only in streaming mode
+    rows_np: np.ndarray | None = None
+    extras_np: np.ndarray | None = None
+    hnorms_np: np.ndarray | None = None
     #: staged split-plane chunks: matrices [n_i, sd] (numpy for committed
     #: rows, DEVICE arrays for freshly built levels — they are only pulled
     #: to the host once, at finalize, because every device->host transfer
@@ -262,6 +270,39 @@ class BuildContext:
 
             raise BuildCancelled()
 
+    @property
+    def streaming(self) -> bool:
+        return self.rows_dev is None
+
+    @property
+    def _sd(self) -> int:
+        return self.metric.storage_dim(self.dims)
+
+    def device_view(self, slots: np.ndarray):
+        """(rows, extras, hnorms, remap) for a global-slot subset.
+
+        Resident mode returns the full device arrays and an identity
+        remap; streaming mode uploads exactly the unique rows referenced
+        by `slots` and returns a global->local remapper.
+        """
+        if not self.streaming:
+            return (
+                self.rows_dev,
+                self.extras_dev,
+                self.hnorms_dev,
+                lambda g: np.asarray(g, np.int32),
+                self.slot_to_id,
+            )
+        uniq = np.unique(np.asarray(slots, np.int64))
+        rows = jnp.asarray(self.rows_np[uniq])
+        extras = jnp.asarray(self.extras_np[uniq])
+        hnorms = jnp.asarray(self.hnorms_np[uniq])
+
+        def remap(g):
+            return np.searchsorted(uniq, np.asarray(g, np.int64)).astype(np.int32)
+
+        return rows, extras, hnorms, remap, self.slot_to_id[uniq]
+
     def stage_chunk(self, matrix, aux: np.ndarray) -> int:
         """Append a chunk of normal rows; returns the base row index."""
         base = self.staging_rows
@@ -271,7 +312,7 @@ class BuildContext:
         return base
 
     def staging_matrix_np(self) -> np.ndarray:
-        sd = self.rows_dev.shape[1]
+        sd = self._sd
         np_dtype = np.uint32 if self.metric.binary else np.float32
         if not self.staging_normals:
             return np.zeros((0, sd), np_dtype)
@@ -283,7 +324,7 @@ class BuildContext:
         return np.concatenate([np.asarray(c) for c in self.staging_aux])
 
     def staging_matrix_dev(self):
-        sd = self.rows_dev.shape[1]
+        sd = self._sd
         np_dtype = np.uint32 if self.metric.binary else np.float32
         if not self.staging_normals:
             return jnp.zeros((1, sd), np_dtype)
@@ -297,7 +338,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     into ctx.forest.  Seeds that already fit in a descendant must be
     handled by the caller.
     """
-    seeds = [(nid, np.asarray(slots, dtype=np.int32)) for nid, slots in seeds if True]
+    seeds = [(nid, np.asarray(slots, dtype=np.int64)) for nid, slots in seeds]
     if not seeds:
         return
     total = int(sum(len(s) for _, s in seeds))
@@ -305,11 +346,16 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     # pow2 bucket: successive builds with similar sizes reuse compiled shapes
     p_pad = max(chunk, _next_pow2(total))
 
+    # resident mode: identity view; streaming mode: upload just this
+    # batch's unique rows and work in local indices
+    all_slots = np.concatenate([sl for _, sl in seeds]) if seeds else np.empty(0)
+    rows_dev, extras_dev, hnorms_dev, remap, slot_to_id = ctx.device_view(all_slots)
+
     perm_np = np.zeros(p_pad, dtype=np.int32)
     starts, lens, node_ids = [], [], []
     off = 0
     for nid, slots in seeds:
-        perm_np[off : off + len(slots)] = slots
+        perm_np[off : off + len(slots)] = remap(slots)
         starts.append(off)
         lens.append(len(slots))
         node_ids.append(nid)
@@ -364,9 +410,9 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         perm, left_cnt_d, none_d, normals_d, aux_d = _level_step(
             ctx.metric,
             ctx.dims,
-            ctx.rows_dev,
-            ctx.extras_dev,
-            ctx.hnorms_dev,
+            rows_dev,
+            extras_dev,
+            hnorms_dev,
             perm,
             jnp.asarray(ss),
             jnp.asarray(sl),
@@ -424,7 +470,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     perm_final = np.asarray(perm)
     for nid, s, e in pending_leaves:
         slots = perm_final[s:e]
-        ids = ctx.slot_to_id[slots].astype(np.uint32)
+        ids = slot_to_id[slots].astype(np.uint32)
         ids.sort()
         ctx.forest.put_leaf(nid, ids)
 
@@ -462,7 +508,11 @@ def route_items(
 
     f = ctx.forest
     collected: dict[int, list[np.ndarray]] = {}
-    frontier = [(int(nid), np.asarray(slots, dtype=np.int32)) for nid, slots in entries]
+    frontier = [(int(nid), np.asarray(slots, dtype=np.int64)) for nid, slots in entries]
+    all_slots = (
+        np.concatenate([sl for _, sl in frontier]) if frontier else np.empty(0)
+    )
+    rows_dev, extras_dev, _, remap, _ = ctx.device_view(all_slots)
     level = 0
     while frontier:
         ctx.check_cancel()
@@ -474,7 +524,7 @@ def route_items(
 
         next_frontier: list[tuple[int, np.ndarray]] = []
         if split_hits:
-            slots_cat = np.concatenate([s for _, s in split_hits])
+            slots_cat = remap(np.concatenate([s for _, s in split_hits]))
             rows_cat = np.concatenate(
                 [np.full(len(s), f.ptr[n], np.int32) for n, s in split_hits]
             )
@@ -491,8 +541,8 @@ def route_items(
             margins = np.asarray(
                 _route_margins(
                     ctx.metric,
-                    ctx.rows_dev,
-                    ctx.extras_dev,
+                    rows_dev,
+                    extras_dev,
                     jnp.asarray(slots_p),
                     jnp.asarray(rows_p),
                     jnp.asarray(aux_p),

@@ -317,15 +317,23 @@ class Writer:
         cancelled()
         sd = metric.storage_dim(dims)
         np_dtype = np.uint32 if metric.binary else np.float32
-        rows_dev = jnp.asarray(st.store.rows().astype(np_dtype, copy=False))
-        extras_dev = jnp.asarray(st.store.extras())
-        hnorms_dev = jnp.asarray(st.store.norms())
         slot_to_id = st.store.slot_ids()
 
         budget_items = None
         if opt.available_memory is not None:
             item_bytes = 4 + (sd * 4)
             budget_items = max(opt.available_memory // item_bytes, dims + 1)
+
+        # streaming mode: the item matrix stays on the host and per-batch
+        # slot subsets are uploaded on demand (reference fit_in_memory's
+        # HBM analog); resident mode uploads the matrix once
+        streaming = budget_items is not None and budget_items < len(item_ids)
+        if streaming:
+            rows_dev = extras_dev = hnorms_dev = None
+        else:
+            rows_dev = jnp.asarray(st.store.rows().astype(np_dtype, copy=False))
+            extras_dev = jnp.asarray(st.store.extras())
+            hnorms_dev = jnp.asarray(st.store.norms())
 
         staging = []
         staging_aux = []
@@ -352,6 +360,9 @@ class Writer:
             alloc=alloc,
             cancel=opt.cancel,
             budget_items=budget_items,
+            rows_np=st.store.rows() if streaming else None,
+            extras_np=st.store.extras() if streaming else None,
+            hnorms_np=st.store.norms() if streaming else None,
             staging_normals=staging,
             staging_aux=staging_aux,
             staging_rows=staged_rows,

@@ -237,3 +237,24 @@ def test_available_memory_build():
     r.assert_validity()
     got = r.nns(5).by_item(0)
     assert got[0][0] == 0
+
+
+def test_streaming_build_matches_resident_quality():
+    # a budget smaller than the corpus forces host->device streaming of
+    # item batches (the reference fit_in_memory analog); the result must
+    # be a valid forest with working queries
+    import numpy as np
+    from arroy_tpu import Reader
+
+    x = random_vectors(500, 16, seed=21)
+    db = Database()
+    w = Writer(db, 0, 16)
+    budget_bytes = 100 * (4 + 16 * 4)  # ~100 items at a time
+    with db.write() as wtxn:
+        w.add_items(wtxn, np.arange(500), x)
+        w.builder(seed=2).n_trees(3).available_memory(budget_bytes).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    r.assert_validity()
+    got = r.nns(10).search_k(10**6).by_vector(x[7])
+    exact = r.exact_by_vectors(x[7][None], 10)[0]
+    assert [i for i, _ in got] == [i for i, _ in exact]
