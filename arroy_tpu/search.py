@@ -560,12 +560,65 @@ def _exact_matmul(metric_name, dims, k, rows, norms, extras, slot_to_id, live, q
     return ids, jnp.where(out_d < _INF, norm_fn(out_d), jnp.float32(jnp.nan))
 
 
+@functools.partial(jax.jit, static_argnames=("metric_name", "dims", "k", "interpret"))
+def _exact_bq_matrix(metric_name, dims, k, rows, norms, slot_to_id, live, qv, qn, interpret):
+    """Tiled Pallas popcount distance matrix for BQ metrics."""
+    from .ops.binary import WORD_BITS
+    from .ops.pallas_kernels import bq_hamming_matrix
+
+    h = bq_hamming_matrix(qv, rows, interpret=interpret).astype(jnp.float32)  # [B, M]
+    if metric_name == "binary quantized euclidean":
+        d = 4.0 * h
+        norm_fn = lambda v: v / dims
+    elif metric_name == "binary quantized manhattan":
+        d = 2.0 * h
+        norm_fn = lambda v: jnp.maximum(v, 0.0) / dims
+    else:  # binary quantized cosine
+        d_pad = rows.shape[1] * WORD_BITS
+        pq = d_pad - 2.0 * h
+        pnqn = norms[None, :] * qn[:, None]
+        cos = pq / jnp.where(pnqn != 0.0, pnqn, 1.0)
+        d = jnp.where(pnqn != 0.0, (1.0 - cos) / 2.0, 0.0)
+        norm_fn = lambda v: v
+    d = jnp.where(live[None, :], d, _INF)
+    neg, idx2 = jax.lax.top_k(-d, k)
+    out_d = -neg
+    ids = slot_to_id[idx2]
+    return ids, jnp.where(out_d < _INF, norm_fn(out_d), jnp.float32(jnp.nan))
+
+
 def exact_batch(idx: DeviceIndex, qv, qn, qe, count: int, fast: bool = False):
     if idx.n_items == 0:
         b = np.asarray(qv).shape[0]
         return np.zeros((b, count), np.int64), np.full((b, count), np.nan, np.float32)
     live = idx.live
     k = min(count, idx.cap)
+    if fast and idx.metric.binary:
+        import jax as _jax
+
+        ids, dists = _exact_bq_matrix(
+            idx.metric.name,
+            idx.dims,
+            int(k),
+            idx.rows,
+            idx.norms,
+            idx.slot_to_id,
+            live,
+            jnp.asarray(qv),
+            jnp.asarray(qn),
+            _jax.default_backend() != "tpu",  # interpret off-TPU
+        )
+        ids = np.asarray(ids).astype(np.int64)
+        dists = np.asarray(dists)
+        if k < count:
+            ids = np.concatenate(
+                [ids, np.zeros((ids.shape[0], count - k), ids.dtype)], axis=1
+            )
+            dists = np.concatenate(
+                [dists, np.full((dists.shape[0], count - k), np.nan, dists.dtype)],
+                axis=1,
+            )
+        return ids, dists
     if fast and not idx.metric.binary and idx.metric.name in (
         "euclidean",
         "cosine",
