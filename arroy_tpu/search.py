@@ -380,6 +380,9 @@ def rescore_mode(metric, b: int, cap: int, m: int, want: str = "auto") -> str:
         return "exact"
     if want == "matmul":
         return "matmul"
+    # the [B, M] dot matrix must stay within ~1GB
+    if b * m * 4 > (1 << 30):
+        return "exact"
     return "matmul" if b * cap >= m and m <= _MATMUL_RESCORE_MAX_ITEMS else "exact"
 
 
@@ -488,6 +491,27 @@ def search_batch(
     if idx.n_items == 0 or not idx.roots:
         b = qv.shape[0]
         return np.zeros((b, count), np.int64), np.full((b, count), np.nan, np.float32)
+
+    # keep device temporaries bounded for very large query batches
+    max_b = 1024
+    if qv.shape[0] > max_b:
+        parts = [
+            search_batch(
+                idx,
+                qv[i : i + max_b],
+                qn[i : i + max_b],
+                qe[i : i + max_b],
+                qf[i : i + max_b],
+                count,
+                search_k,
+                filter_slots,
+            )
+            for i in range(0, qv.shape[0], max_b)
+        ]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
 
     fn = make_search_fn(idx, count, search_k, filter_slots)
     ids, dists = fn(
