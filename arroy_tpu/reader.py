@@ -140,7 +140,11 @@ class QueryBuilder:
 
     def _run(self, qv, qn, qe, qf) -> list[list[tuple[int, float]]]:
         r = self._reader
-        if r._state.metadata is None or len(r._state.metadata.items) == 0:
+        if (
+            self._count <= 0
+            or r._state.metadata is None
+            or len(r._state.metadata.items) == 0
+        ):
             return [[] for _ in range(len(qv))]
         dev = r._device()
         filter_slots = None

@@ -182,3 +182,31 @@ def test_overwrite_vector_moves_item():
     r.assert_validity()
     got = r.nns(2).search_k(10**6).by_item(150)
     assert {i for i, _ in got} == {0, 150}
+
+
+def test_dot_product_preprocess_recomputed_incrementally():
+    # the Bachrach extra dimension depends on the corpus max norm; adding
+    # a much larger vector changes every item's embedding and the next
+    # build must recompute it (reference: dot_product preprocess runs per
+    # build over the current items)
+    x = random_vectors(100, 8, seed=20)
+    db = Database()
+    w = Writer(db, 0, 8, metric="dot-product")
+    with db.write() as wtxn:
+        for i in range(100):
+            w.add_item(wtxn, i, x[i])
+        w.builder(seed=1).n_trees(3).build(wtxn)
+    r1 = Reader.open(db.read(), 0, db, metric="dot-product")
+    got1 = r1.nns(5).search_k(10**6).by_vector(x[0])
+    exact1 = r1.exact_by_vectors(x[0][None], 5)[0]
+    assert [i for i, _ in got1] == [i for i, _ in exact1]
+
+    with db.write() as wtxn:
+        w.add_item(wtxn, 500, (x[1] * 50.0))  # new max-norm item
+        w.builder(seed=2).n_trees(3).build(wtxn)
+    r2 = Reader.open(db.read(), 0, db, metric="dot-product")
+    r2.assert_validity()
+    got2 = r2.nns(5).search_k(10**6).by_vector(x[0])
+    exact2 = r2.exact_by_vectors(x[0][None], 5)[0]
+    assert [i for i, _ in got2] == [i for i, _ in exact2]
+    assert got2[0][0] == 500  # the huge vector dominates by dot product
