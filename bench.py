@@ -55,7 +55,39 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_tpu(timeout_s: float = 240.0) -> bool:
+    """Device init can hang when the TPU tunnel is down; probe in a child."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main():
+    global M, BATCH, ITERS
+    cpu_fallback = False
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _probe_tpu():
+        log("TPU unavailable - falling back to CPU with a reduced config")
+        # a sitecustomize hook may have imported jax already, so the env
+        # var is too late — override the config directly
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        cpu_fallback = True
+        M = min(M, 20_000)
+        BATCH = min(BATCH, 128)
+        ITERS = min(ITERS, 4)
+
     import jax
 
     # persistent compilation cache: repeated bench/build runs skip XLA compiles
@@ -126,10 +158,11 @@ def main():
     dt_ex = time.perf_counter() - t0
     log(f"exact search: {nq / dt_ex:.0f} qps")
 
+    suffix = "_cpu_fallback" if cpu_fallback else ""
     print(
         json.dumps(
             {
-                "metric": f"ann_qps_{M // 1000}k_{D}d_top{COUNT}_recall{recall:.2f}",
+                "metric": f"ann_qps_{M // 1000}k_{D}d_top{COUNT}_recall{recall:.2f}{suffix}",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / ASSUMED_CPU_ARROY_QPS, 2),
