@@ -71,3 +71,23 @@ def test_incremental_noop_build_is_stable():
         w.builder(seed=1234).n_trees(3).build(wtxn)
     r2 = Reader.open(db.read(), 0, db)
     assert dump_index(r2) == before
+
+
+def test_committed_golden_snapshot():
+    """Pinned structural snapshot (regenerate deliberately if the build
+    algorithm or the threefry stream changes):
+
+        python - <<'PY'
+        from tests.util import build_db, random_vectors
+        from tests.test_golden import dump_index
+        x = random_vectors(64, 8, seed=31)
+        _, _, r = build_db(x, n_trees=2, seed=64)
+        open('tests/snapshots/forest_64x8_t2_seed64.txt', 'w').write(dump_index(r))
+        PY
+    """
+    import os
+
+    x = random_vectors(64, 8, seed=31)
+    _, _, r = build_db(x, n_trees=2, seed=64)
+    snap = os.path.join(os.path.dirname(__file__), "snapshots", "forest_64x8_t2_seed64.txt")
+    assert dump_index(r) == open(snap).read()
