@@ -13,5 +13,6 @@ search_movies          ``python -m arroy_tpu.cli.search_bench``
 compare_with_hnsw      ``python -m arroy_tpu.cli.compare_exact``
 fuzz                   ``python -m arroy_tpu.cli.fuzz``
 sample_vectors         ``python -m arroy_tpu.cli.sample_vectors``
+(ext. benchmark repo)  ``python -m arroy_tpu.cli.recall_sweep``
 =====================  ===========================================
 """
