@@ -405,6 +405,16 @@ def make_search_fn(
     pipeline back-to-back.  This is how a production server should drive
     the engine; the ``QueryBuilder`` path adds host conversions per call.
     """
+    if idx.n_items == 0 or not idx.roots:
+        def empty_fn(qv, qn, qe, qf):
+            b = qv.shape[0]
+            return (
+                jnp.zeros((b, max(count, 1)), jnp.uint32),
+                jnp.full((b, max(count, 1)), jnp.nan, jnp.float32),
+            )
+
+        return empty_fn
+
     has_filter = filter_slots is not None
     if has_filter:
         n_words = max((idx.cap + 31) // 32, 1)

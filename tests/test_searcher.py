@@ -57,3 +57,15 @@ def test_searcher_snapshot_isolation():
     r2 = Reader.open(db.read(), 0, db)
     got2 = r2.searcher(3, search_k=10**6)(x[:1])
     assert got2[0][0][0] != 0
+
+
+def test_searcher_on_empty_index():
+    from arroy_tpu import Database, Reader, Writer
+
+    db = Database()
+    w = Writer(db, 0, 4)
+    with db.write() as wtxn:
+        w.builder(seed=1).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    s = r.searcher(5)
+    assert s(np.zeros((3, 4), np.float32)) == [[], [], []]
