@@ -185,3 +185,28 @@ def test_exact_fast_matches_oracle_ranking():
         np.testing.assert_allclose(
             [d for _, d in ra], [d for _, d in rb], rtol=1e-3, atol=5e-3
         )
+
+
+def test_oversampling_multiplies_search_k():
+    # reference: src/reader.rs:330-335 — search_k defaults to count*n_trees,
+    # multiplied by oversampling (or the metric's DEFAULT_OVERSAMPLING)
+    x = random_vectors(300, 8, seed=14)
+    db, w, r = build_db(x, n_trees=4)
+    q = x[5]
+    base = r.nns(10).search_k(10 * 4 * 3).by_vector(q)
+    over = r.nns(10).oversampling(3).by_vector(q)  # 10*4 default * 3
+    assert base == over
+
+
+def test_bq_default_oversampling_is_3():
+    # BQ metrics default to x3 oversampling
+    # (reference: src/distance/binary_quantized_cosine.rs:36)
+    x = random_vectors(300, 16, seed=15)
+    db, w, r = build_db(x, metric="binary quantized cosine", n_trees=4)
+    q = x[5]
+    # default effective search_k = (count * n_trees) * 3; an explicit
+    # search_k is ALSO multiplied by the metric default, so search_k(40)
+    # is the equivalent explicit request (reference: src/reader.rs:330-335)
+    default = r.nns(10).by_vector(q)
+    explicit = r.nns(10).search_k(10 * 4).by_vector(q)
+    assert default == explicit
