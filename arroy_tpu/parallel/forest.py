@@ -105,30 +105,55 @@ class ShardedForestIndex:
         n_trees: int | None = None,
         split_after: int | None = None,
         seed: int = 42,
+        parallel_build: bool = False,
     ) -> "ShardedForestIndex":
-        """Partition items round-robin and build one sub-forest per shard."""
+        """Partition items round-robin and build one sub-forest per shard.
+
+        ``parallel_build`` drives the shard builds from one thread per
+        device.  Default off: on a single controller the jit cache is
+        per-device, so the concurrent compiles usually cost more than the
+        overlap wins; it pays off only when kernels are already cached.
+        """
+        import concurrent.futures
+
         metric = resolve_metric(metric)
         vectors = np.asarray(vectors, np.float32)
         m, dims = vectors.shape
         if ids is None:
             ids = np.arange(m, dtype=np.uint32)
         n = mesh.devices.size
-        packs = []
-        for s in range(n):
-            sel = np.arange(s, m, n)
-            db = Database()
-            w = Writer(db, 0, dims, metric=metric)
-            with db.write() as wtxn:
-                if len(sel):
-                    w.add_items(wtxn, ids[sel], vectors[sel])
-                b = w.builder(seed=seed + s)
-                if n_trees is not None:
-                    b.n_trees(n_trees)
-                if split_after is not None:
-                    b.split_after(split_after)
-                b.build(wtxn)
-            st = db.read().state(0)
-            packs.append(DeviceIndex.build_np(metric, dims, st.store, st.forest))
+        devices = list(mesh.devices.flat)
+
+        import contextlib
+
+        def build_shard(s: int) -> dict:
+            # when parallel, pin each shard's build to its own device so
+            # the n builds overlap instead of queueing on device 0 (at the
+            # cost of per-device jit compiles)
+            dev_ctx = (
+                jax.default_device(devices[s]) if parallel_build else contextlib.nullcontext()
+            )
+            with dev_ctx:
+                sel = np.arange(s, m, n)
+                db = Database()
+                w = Writer(db, 0, dims, metric=metric)
+                with db.write() as wtxn:
+                    if len(sel):
+                        w.add_items(wtxn, ids[sel], vectors[sel])
+                    b = w.builder(seed=seed + s)
+                    if n_trees is not None:
+                        b.n_trees(n_trees)
+                    if split_after is not None:
+                        b.split_after(split_after)
+                    b.build(wtxn)
+                st = db.read().state(0)
+                return DeviceIndex.build_np(metric, dims, st.store, st.forest)
+
+        if parallel_build:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
+                packs = list(ex.map(build_shard, range(n)))
+        else:
+            packs = [build_shard(s) for s in range(n)]
         return ShardedForestIndex(mesh, packs, metric, dims)
 
     # ------------------------------------------------------------------
