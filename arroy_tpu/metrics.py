@@ -228,6 +228,24 @@ class _BQMetric(Metric):
         return bq_dot_rowwise(a, b)
 
     @classmethod
+    def margin_matrix(cls, normals, aux, qv, qf):
+        # chunk the [B, S, w] XOR broadcast along S to bound the temporary
+        s = normals.shape[0]
+        chunk = 2048
+        n_chunks = -(-s // chunk)
+        pad = n_chunks * chunk
+        norm_p = jnp.concatenate(
+            [normals, jnp.zeros((pad - s, normals.shape[1]), normals.dtype)]
+        ).reshape(n_chunks, chunk, normals.shape[1])
+
+        def one(nc):
+            return bq_dot_rowwise(nc[None, :, :], qv[:, None, :])  # [B, chunk]
+
+        base = jax.lax.map(one, norm_p)  # [n_chunks, B, chunk]
+        base = base.transpose(1, 0, 2).reshape(qv.shape[0], pad)[:, :s]
+        return base + aux[None, :] * qf[:, None]
+
+    @classmethod
     def tm_dim(cls, dims: int) -> int:
         return padded_dim(dims)
 
