@@ -177,7 +177,13 @@ class Searcher:
     reference's per-pair formulas.
     """
 
-    def __init__(self, reader: "Reader", qb: QueryBuilder, rescore: str = "auto"):
+    def __init__(
+        self,
+        reader: "Reader",
+        qb: QueryBuilder,
+        rescore: str = "auto",
+        traversal: str = "auto",
+    ):
         from .search import make_search_fn
 
         self._reader = reader
@@ -194,7 +200,12 @@ class Searcher:
                 else np.empty(0, np.int64)
             )
         self.device_fn = make_search_fn(
-            dev, qb._count, qb._effective_search_k(), filter_slots, rescore=rescore
+            dev,
+            qb._count,
+            qb._effective_search_k(),
+            filter_slots,
+            rescore=rescore,
+            traversal=traversal,
         )
         self._dev = dev
 
@@ -294,6 +305,7 @@ class Reader:
         oversampling: int | None = None,
         candidates=None,
         rescore: str = "auto",
+        traversal: str = "auto",
     ) -> "Searcher":
         """A bound, compiled serving handle (the TPU-native hot path).
 
@@ -308,7 +320,7 @@ class Reader:
             qb.oversampling(oversampling)
         if candidates is not None:
             qb.candidates(candidates)
-        return Searcher(self, qb, rescore=rescore)
+        return Searcher(self, qb, rescore=rescore, traversal=traversal)
 
     # -- exact search oracle --------------------------------------------
     def exact_by_vectors(

@@ -391,12 +391,36 @@ def rescore_mode(metric, b: int, cap: int, m: int, want: str = "auto") -> str:
 # ---------------------------------------------------------------------------
 
 
+def traversal_mode(idx: DeviceIndex, has_filter: bool, pmax: int, search_k: int, want: str = "auto") -> str:
+    """Resolve the traversal engine: the XLA while-loop or the Pallas
+    VMEM-resident kernel (ops/pallas_traverse.py).
+
+    ``auto`` currently means XLA (the Pallas kernel is opt-in until its
+    on-chip numbers are in); ``ARROY_TRAVERSAL=pallas|xla`` overrides.
+    Filtered searches and indexes too big for VMEM always use XLA.
+    """
+    import os
+
+    from .ops.pallas_traverse import fits
+
+    want = os.environ.get("ARROY_TRAVERSAL", want or "auto").lower()
+    if want != "pallas" or has_filter:
+        return "xla"
+    t = max(len(idx.roots), 1)
+    q_cap = t + pmax
+    l_cap = min(search_k, pmax) + 1
+    if not fits(int(idx.node_table.shape[0]), int(idx.normals.shape[0]), q_cap, l_cap):
+        return "xla"
+    return "pallas"
+
+
 def make_search_fn(
     idx: DeviceIndex,
     count: int,
     search_k: int,
     filter_slots: np.ndarray | None = None,
     rescore: str = "exact",
+    traversal: str = "auto",
 ):
     """Return a device-resident search callable (the serving hot path).
 
@@ -432,26 +456,48 @@ def make_search_fn(
     pmax = pops_budget(idx, sk_exact, has_filter)
     roots = jnp.asarray(np.asarray(idx.roots, np.int32))
     sk_dyn = jnp.int32(sk_exact)
+    trav = traversal_mode(idx, has_filter, pmax, int(sk), traversal)
+    roots_np = np.asarray(idx.roots, np.int32)
 
     def fn(qv, qn, qe, qf):
-        cand, _, _ = _traverse_batch(
-            idx.metric,
-            int(sk),
-            int(pmax),
-            int(idx.max_leaf),
-            bool(has_filter),
-            idx.node_table,
-            idx.normals,
-            idx.aux,
-            idx.leaf_off,
-            idx.leaf_cnt,
-            idx.leaf_items,
-            roots,
-            qv,
-            qf,
-            filter_words,
-            sk_dyn,
-        )
+        if trav == "pallas":
+            from .ops.pallas_traverse import traverse_pallas
+
+            cand, _, _ = traverse_pallas(
+                idx.metric,
+                int(sk),
+                int(pmax),
+                int(idx.max_leaf),
+                idx.node_table,
+                idx.normals,
+                idx.aux,
+                idx.leaf_off,
+                idx.leaf_cnt,
+                idx.leaf_items,
+                roots_np,
+                qv,
+                qf,
+                sk_dyn,
+            )
+        else:
+            cand, _, _ = _traverse_batch(
+                idx.metric,
+                int(sk),
+                int(pmax),
+                int(idx.max_leaf),
+                bool(has_filter),
+                idx.node_table,
+                idx.normals,
+                idx.aux,
+                idx.leaf_off,
+                idx.leaf_cnt,
+                idx.leaf_items,
+                roots,
+                qv,
+                qf,
+                filter_words,
+                sk_dyn,
+            )
         mode = rescore_mode(
             idx.metric, int(qv.shape[0]), int(cand.shape[1]), idx.n_items, rescore
         )
