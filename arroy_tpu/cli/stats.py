@@ -28,6 +28,13 @@ def main(argv=None):
     if depths:
         print(f"depth: min={min(depths)} max={max(depths)} "
               f"avg={sum(depths) / len(depths):.1f}")
+    # host-side pack (no device upload): same arrays the device would hold
+    from ..device import DeviceIndex
+
+    st = r._state
+    pack = DeviceIndex.build_np(r.metric, r.dimensions(), st.store, st.forest)
+    hbm = sum(a.nbytes for a in pack.values() if hasattr(a, "nbytes"))
+    print(f"device (HBM) footprint: {hbm / (1 << 20):.1f} MiB")
 
 
 if __name__ == "__main__":

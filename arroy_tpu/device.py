@@ -57,6 +57,34 @@ class DeviceIndex:
     max_leaf: int
     cap: int
 
+    def nbytes(self) -> int:
+        """HBM footprint of this index's device arrays (the budget a
+        serving deployment must reserve per resident generation; the
+        analog of the reference's LMDB map-size accounting)."""
+        total = 0
+        for f in (
+            self.rows, self.norms, self.extras, self.slot_to_id, self.live,
+            self.kind, self.left, self.right, self.ptr, self.node_table,
+            self.normals, self.aux, self.leaf_off, self.leaf_cnt,
+            self.leaf_items,
+        ):
+            total += int(np.prod(f.shape)) * f.dtype.itemsize
+        return total
+
+    @staticmethod
+    def estimate_nbytes(metric: type[Metric], dims: int, n_items: int, n_trees: int) -> int:
+        """Pre-build HBM estimate: item matrix + ~2 nodes per `dims`-sized
+        leaf per tree (split_after = dims, reference src/writer.rs:474-477)."""
+        sd = metric.storage_dim(dims)
+        itemsize = 4
+        items = n_items * (sd + 4) * itemsize  # rows + norm/extra/id/live
+        n_leaves = max(-(-n_items // max(dims // 2, 1)), 1)  # half-full leaves
+        nodes = 2 * n_leaves * n_trees
+        forest = nodes * (12 * itemsize) + n_leaves * n_trees * 2 * itemsize
+        forest += (nodes // 2) * sd * itemsize  # split normals
+        forest += n_items * n_trees * itemsize  # CSR membership per tree
+        return items + forest
+
     @staticmethod
     def build_np(metric: type[Metric], dims: int, store: ItemStore, forest: Forest) -> dict:
         """Host-side pack of all index arrays (used by build() and by the

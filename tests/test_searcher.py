@@ -69,3 +69,19 @@ def test_searcher_on_empty_index():
     r = Reader.open(db.read(), 0, db)
     s = r.searcher(5)
     assert s(np.zeros((3, 4), np.float32)) == [[], [], []]
+
+
+def test_device_footprint_accounting():
+    from arroy_tpu.device import DeviceIndex
+
+    from .util import build_db, random_vectors
+
+    x = random_vectors(600, 48, seed=11)
+    db, w, r = build_db(x, metric="euclidean", n_trees=4)
+    dev = r._device()
+    actual = dev.nbytes()
+    # at minimum the item matrix itself
+    assert actual >= 600 * 48 * 4
+    est = DeviceIndex.estimate_nbytes(r.metric, 48, 600, 4)
+    # the pre-build estimate brackets reality within ~5x either way
+    assert est / 5 <= actual <= est * 5
