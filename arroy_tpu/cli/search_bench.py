@@ -24,7 +24,17 @@ def main(argv=None):
     ap.add_argument("--search-k", type=int, default=None)
     ap.add_argument("--batch", type=int, default=0, help="0 = one-by-one latency mode")
     ap.add_argument("--limit", type=int, default=1000, help="max items to query")
+    ap.add_argument(
+        "--traversal",
+        choices=("auto", "xla", "pallas"),
+        default="auto",
+        help="traversal engine (see search.traversal_mode)",
+    )
     args = ap.parse_args(argv)
+    if args.traversal != "auto":
+        import os
+
+        os.environ["ARROY_TRAVERSAL"] = args.traversal
 
     db = Database(args.db)
     r = Reader.open(db.read(), args.index, db, metric=args.distance)
