@@ -107,8 +107,11 @@ def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, key
             norm = jnp.ones_like(di)
         ok = ~(jnp.isnan(norm) | (norm <= 0.0))
         nrm = jnp.where(ok, norm, 1.0)[:, None]
+        # the reference's if/else updates centroid q on exact ties
+        # (src/distance/mod.rs two_means); ties are common for BQ metrics
+        # whose training distances are small integers
         updp = ok & (di < dj)
-        updq = ok & (dj < di)
+        updq = ok & ~(di < dj)
         newp = (p * ic[:, None] + k / nrm) / (ic[:, None] + 1.0)
         newq = (q * jc[:, None] + k / nrm) / (jc[:, None] + 1.0)
         php = metric.tm_init(newp, pe)
@@ -263,6 +266,11 @@ class BuildContext:
     staging_aux: list = field(default_factory=list)
     staging_rows: int = 0
     on_items_indexed: Callable[[int], None] = lambda n: None
+    #: device staging cache: chunks already concatenated on device
+    _staging_dev: object = field(default=None, repr=False)
+    _staging_dev_chunks: int = field(default=0, repr=False)
+    #: sorted (ids, slots) lookup, built lazily once per build
+    _slot_lut: object = field(default=None, repr=False)
 
     def check_cancel(self) -> None:
         if self.cancel():
@@ -324,11 +332,42 @@ class BuildContext:
         return np.concatenate([np.asarray(c) for c in self.staging_aux])
 
     def staging_matrix_dev(self):
+        """Device staging matrix, cached incrementally: only chunks staged
+        since the last call are uploaded/concatenated (budgeted builds call
+        this once per stack iteration — rebuilding the full matrix each
+        time would be quadratic host->device traffic through the tunnel)."""
         sd = self._sd
         np_dtype = np.uint32 if self.metric.binary else np.float32
         if not self.staging_normals:
             return jnp.zeros((1, sd), np_dtype)
-        return jnp.concatenate([jnp.asarray(c) for c in self.staging_normals])
+        n = len(self.staging_normals)
+        if self._staging_dev is None:
+            new = [jnp.asarray(c) for c in self.staging_normals]
+            self._staging_dev = new[0] if n == 1 else jnp.concatenate(new)
+        elif self._staging_dev_chunks < n:
+            new = [jnp.asarray(c) for c in self.staging_normals[self._staging_dev_chunks :]]
+            self._staging_dev = jnp.concatenate([self._staging_dev, *new])
+        self._staging_dev_chunks = n
+        return self._staging_dev
+
+    def ids_to_slots(self, ids: np.ndarray) -> np.ndarray:
+        """Map item ids -> store slots via a lazily built sorted lookup.
+        Raises on ids absent from the store instead of silently clamping
+        to a wrong slot (that would mask index corruption)."""
+        if self._slot_lut is None:
+            live = np.nonzero(self.slot_to_id >= 0)[0]
+            order = np.argsort(self.slot_to_id[live])
+            self._slot_lut = (
+                self.slot_to_id[live][order],
+                live[order].astype(np.int32),
+            )
+        sorted_ids, sorted_slots = self._slot_lut
+        ids64 = np.asarray(ids, np.int64)
+        pos = np.searchsorted(sorted_ids, ids64)
+        pos_c = np.minimum(pos, max(len(sorted_ids) - 1, 0))
+        if len(sorted_ids) == 0 or not np.array_equal(sorted_ids[pos_c], ids64):
+            raise KeyError("leaf references item ids absent from the store")
+        return sorted_slots[pos_c]
 
 
 def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> None:

@@ -8,20 +8,21 @@ state resident in VMEM:
 
 - grid over query blocks of ``_QBLK`` (a block exits its while loop as
   soon as its own queries are done — no batch-wide lockstep),
-- the packed node table ``[Np, 8]`` stays in VMEM for the whole kernel,
-- per-pop node rows are fetched with dynamic row reads into a tiny
-  scratch, margins are selected from the precomputed margin block by a
-  one-hot reduce (no scalar extraction on the write side),
+- the node table lives in VMEM transposed to ``[8, Np]`` (fields x
+  nodes) so per-pop rows are selected by a one-hot masked reduce over
+  the lane axis — no scalar extraction, no dynamic-slice starts, every
+  op stays a plain vector op Mosaic is guaranteed to lower,
+- margins are selected the same way from the precomputed margin block,
 - the kernel emits each query's leaf log (CSR rows of the leaves it
-  popped); the candidate expansion stays in stock XLA outside.
+  popped); the candidate expansion is the shared XLA helper outside.
 
 Pop order, tie-breaking, the leaf log protocol and the pop budget are
 bit-identical to the XLA path (asserted by tests/test_pallas.py), so
 `search_k` semantics match the reference best-first queue the same way
 (reference: src/reader.rs:317-401).
 
-Off-TPU the kernel runs under ``interpret=True`` (CPU tests); on-chip
-use is gated by `fits` (node table + margin block must fit VMEM).
+On a CPU backend the kernel runs under ``interpret=True`` (tests); any
+non-CPU backend compiles it.  On-chip use is gated by `fits`.
 """
 
 from __future__ import annotations
@@ -36,16 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.forest import KIND_FREE, KIND_LEAF, KIND_SPLIT_NONE
 
-_INF = jnp.float32(jnp.inf)
 _QBLK = 8  # queries per grid step (one VPU sublane tile)
 
-#: VMEM budget for the resident inputs (node table is lane-padded 8->128
-#: by Mosaic, so it costs Np*512 bytes; leave headroom for pq state)
+#: VMEM budget for the resident inputs (transposed node table is
+#: 32 B/node; leave headroom for the pq state and margin block)
 _VMEM_BUDGET = 10 * (1 << 20)
 
 
 def fits(n_nodes: int, s_rows: int, q_cap: int, l_cap: int) -> bool:
-    node_bytes = n_nodes * 128 * 4  # lane padding 8 -> 128
+    node_bytes = -(-n_nodes // 128) * 128 * 8 * 4  # [8, Np] lane-padded
     marg_bytes = _QBLK * s_rows * 4
     state_bytes = _QBLK * (2 * q_cap + l_cap) * 4 * 2  # carries double-buffered
     return node_bytes + marg_bytes + state_bytes < _VMEM_BUDGET
@@ -59,22 +59,22 @@ def _kernel(
     n_nodes,
     s_rows,
     skdyn_ref,
-    node_ref,
+    nodeT_ref,
     marg_ref,
     init_ref,
     log_ref,
     ncand_ref,
     pops_ref,
-    rows_s,
-    nid_s,
 ):
-    inf = float("inf")  # python float: folds into the ops (jnp scalars
+    inf = float("inf")  # python floats fold into the ops (jnp scalars
     # would be captured constants, which pallas_call rejects)
     sk = skdyn_ref[0, 0]
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (_QBLK, q_cap), 1)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (_QBLK, l_cap), 1)
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (_QBLK, s_rows), 1)
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (_QBLK, n_nodes), 1)
     marg = marg_ref[:]  # [Q, S]
+    nodeT = nodeT_ref[:]  # [8, Np]: kind,left,right,ptr,off,cnt,0,0 rows
 
     pq_dist0 = jnp.where(c_iota < t, inf, -inf)
     pq_node0 = jnp.broadcast_to(init_ref[:], (_QBLK, q_cap))
@@ -96,21 +96,20 @@ def _kernel(
         sel = mask & (pq_node == nid)
         at_i = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=1) == 1)
 
-        # fetch the popped node rows: Q dynamic row reads through scratch
-        nid_s[:, :] = jnp.clip(nid, 0, n_nodes - 1)
-        for j in range(_QBLK):
-            nj = nid_s[j, 0]
-            rows_s[pl.ds(j, 1), :] = node_ref[pl.ds(nj, 1), :]
-        rows = rows_s[:, :]  # [Q, 8]: kind,left,right,ptr,off,cnt,0,0
-        knd = rows[:, 0:1]
-        left = rows[:, 1:2]
-        right = rows[:, 2:3]
-        p = rows[:, 3:4]
+        # popped node fields by one-hot reduce over the node axis
+        sel_n = n_iota == jnp.clip(nid, 0, n_nodes - 1)
+
+        def pick(j):
+            return jnp.sum(
+                jnp.where(sel_n, nodeT[j : j + 1, :], 0), axis=1, keepdims=True
+            )
+
+        knd, left, right, p, cnt_raw = (pick(j) for j in (0, 1, 2, 3, 5))
         is_leaf = alive & (knd == KIND_LEAF)
         is_split = alive & ~is_leaf & (knd != KIND_FREE)
 
         # --- leaf lane: log the CSR row, bump the running count ---
-        cnt = jnp.where(is_leaf, rows[:, 5:6], 0)
+        cnt = jnp.where(is_leaf, cnt_raw, 0)
         n_leaf = leaf_log[:, l_cap - 1 :]
         log_it = is_leaf & (cnt > 0) & (n_leaf < l_cap - 1)
         new_log = jnp.where(log_it & (l_iota == n_leaf), p, leaf_log)
@@ -161,31 +160,43 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search_k", "pmax", "w", "t", "interpret"),
+    static_argnames=("metric", "search_k", "pmax", "w", "t", "interpret"),
 )
-def _traverse_pallas_logs(
+def _traverse_pallas_jit(
+    metric,
     search_k,
     pmax,
     w,
     t,
     interpret,
     node_table,
-    margins,
+    normals,
+    aux,
+    leaf_off,
+    leaf_cnt,
+    leaf_items,
     init_node,
+    qv,
+    qf,
     search_k_dyn,
 ):
-    """Run the pop loop; returns (leaf_log [B, l_cap], n_cand, pops)."""
-    b = margins.shape[0]
-    s_rows = margins.shape[1]
+    """One fused device program: margins -> pop-loop kernel -> expansion."""
+    from ..search import _expand_one_log
+
+    b = qv.shape[0]
     n_nodes = node_table.shape[0]
     q_cap = t + pmax
     l_cap = min(search_k, pmax) + 1
+    cap = search_k + w
 
+    margins = metric.margin_matrix(normals, aux, qv, qf).astype(jnp.float32)
+    s_rows = margins.shape[1]
     bp = pl.cdiv(b, _QBLK) * _QBLK
     if bp > b:
         margins = jnp.concatenate(
             [margins, jnp.zeros((bp - b, s_rows), margins.dtype)], axis=0
         )
+    nodeT = node_table.T  # [8, Np] fields x nodes
 
     kern = functools.partial(_kernel, t, pmax, q_cap, l_cap, n_nodes, s_rows)
     logs, ncand, pops = pl.pallas_call(
@@ -193,9 +204,7 @@ def _traverse_pallas_logs(
         grid=(bp // _QBLK,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (n_nodes, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((8, n_nodes), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_QBLK, s_rows), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q_cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -209,45 +218,27 @@ def _traverse_pallas_logs(
             jax.ShapeDtypeStruct((bp, 1), jnp.int32),
             jax.ShapeDtypeStruct((bp, 1), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((_QBLK, 8), jnp.int32),
-            pltpu.VMEM((_QBLK, 1), jnp.int32),
-        ],
         interpret=interpret,
     )(
         jnp.asarray(search_k_dyn, jnp.int32).reshape(1, 1),
-        node_table,
+        nodeT,
         margins,
         init_node,
     )
-    return logs[:b], ncand[:b, 0], pops[:b, 0]
+    cand = jax.vmap(
+        lambda log1: _expand_one_log(log1, leaf_off, leaf_cnt, leaf_items, cap)
+    )(logs[:b])
+    return cand, pops[:b, 0], ncand[:b, 0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("search_k", "pmax", "w")
-)
-def _expand_logs(search_k, pmax, w, leaf_log, leaf_off, leaf_cnt, leaf_items):
-    """Leaf log -> candidate slots: the same cumsum/searchsorted expansion
-    as the XLA path's `one()` tail (search.py)."""
-    l_cap = leaf_log.shape[1]
-    cap = search_k + w
-    cap_iota = jnp.arange(cap, dtype=jnp.int32)
-    l_iota = jnp.arange(l_cap, dtype=jnp.int32)
-
-    def one(log1):
-        n_leaf = log1[l_cap - 1]
-        live_l = l_iota < n_leaf
-        counts = jnp.where(live_l, leaf_cnt[log1], 0)
-        ends = jnp.cumsum(counts)
-        sel = jnp.searchsorted(ends, cap_iota, side="right").astype(jnp.int32)
-        sel_c = jnp.minimum(sel, l_cap - 1)
-        start = ends[sel_c] - counts[sel_c]
-        src = leaf_off[log1[sel_c]] + (cap_iota - start)
-        total = jnp.minimum(ends[l_cap - 1], cap)
-        vals = leaf_items[jnp.minimum(src, leaf_items.shape[0] - 1)]
-        return jnp.where(cap_iota < total, vals, -1)
-
-    return jax.vmap(one)(leaf_log)
+def make_init_node(roots: np.ndarray, pmax: int) -> np.ndarray:
+    """The initial queue-node row (roots then zeros), built once at
+    searcher-bind time — never per call (the tunnel costs ~30 ms per
+    host->device transfer)."""
+    t = int(roots.shape[0])
+    init = np.zeros((1, t + pmax), np.int32)
+    init[0, :t] = np.asarray(roots, np.int32)
+    return init
 
 
 def traverse_pallas(
@@ -261,32 +252,35 @@ def traverse_pallas(
     leaf_off,
     leaf_cnt,
     leaf_items,
-    roots: np.ndarray,
+    init_node,
     qv,
     qf,
     search_k_dyn,
     interpret: bool | None = None,
 ):
-    """Drop-in for the unfiltered `search._traverse_batch` (same outputs)."""
+    """Drop-in for the unfiltered `search._traverse_batch` (same outputs).
+
+    ``init_node`` is the device array from `make_init_node` (bound once);
+    everything here runs inside one jit — no per-call host work.
+    """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    t = int(roots.shape[0])
-    q_cap = t + pmax
-    init = np.zeros((1, q_cap), np.int32)
-    init[0, :t] = np.asarray(roots, np.int32)
-    margins = metric.margin_matrix(normals, aux, qv, qf)  # [B, S]
-    logs, n_cand, pops = _traverse_pallas_logs(
+        interpret = jax.default_backend() == "cpu"
+    t = int(init_node.shape[1]) - int(pmax)
+    return _traverse_pallas_jit(
+        metric,
         int(search_k),
         int(pmax),
         int(w),
         t,
         bool(interpret),
         node_table,
-        margins.astype(jnp.float32),
-        jnp.asarray(init),
+        normals,
+        aux,
+        leaf_off,
+        leaf_cnt,
+        leaf_items,
+        init_node,
+        qv,
+        qf,
         search_k_dyn,
     )
-    cand = _expand_logs(
-        int(search_k), int(pmax), int(w), logs, leaf_off, leaf_cnt, leaf_items
-    )
-    return cand, pops, n_cand

@@ -45,8 +45,10 @@ class SubStep:
         return self._current
 
     def add(self, n: int) -> None:
+        # clamped: budget-mode rebuilds can re-place the same items in a
+        # merged leaf, so placements may exceed the estimate slightly
         with self._lock:
-            self._current += n
+            self._current = min(self._current + n, self.max)
 
 
 @dataclass

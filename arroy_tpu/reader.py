@@ -347,27 +347,39 @@ class Reader:
     def stats(self) -> Stats:
         f = self._state.forest
 
-        def rec(nid: int) -> TreeStats:
-            k = f.kind[nid]
-            if k == KIND_LEAF:
-                return TreeStats(depth=1, dummy_normals=0, split_nodes=0, descendants=1)
-            left = rec(int(f.left[nid]))
-            right = rec(int(f.right[nid]))
-            return TreeStats(
-                depth=1 + max(left.depth, right.depth),
-                dummy_normals=left.dummy_normals
-                + right.dummy_normals
-                + (1 if k == KIND_SPLIT_NONE else 0),
-                split_nodes=left.split_nodes + right.split_nodes + 1,
-                descendants=left.descendants + right.descendants,
-            )
+        def walk(root: int) -> TreeStats:
+            # iterative post-order: incremental grafting makes tree depth
+            # unbounded, so Python recursion could blow the C stack
+            results: dict[int, TreeStats] = {}
+            stack = [(int(root), False)]
+            while stack:
+                nid, expanded = stack.pop()
+                k = f.kind[nid]
+                if k == KIND_LEAF:
+                    results[nid] = TreeStats(
+                        depth=1, dummy_normals=0, split_nodes=0, descendants=1
+                    )
+                    continue
+                if not expanded:
+                    stack.append((nid, True))
+                    stack.append((int(f.left[nid]), False))
+                    stack.append((int(f.right[nid]), False))
+                    continue
+                left = results.pop(int(f.left[nid]))
+                right = results.pop(int(f.right[nid]))
+                results[nid] = TreeStats(
+                    depth=1 + max(left.depth, right.depth),
+                    dummy_normals=left.dummy_normals
+                    + right.dummy_normals
+                    + (1 if k == KIND_SPLIT_NONE else 0),
+                    split_nodes=left.split_nodes + right.split_nodes + 1,
+                    descendants=left.descendants + right.descendants,
+                )
+            return results[int(root)]
 
-        import sys
-
-        sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
         return Stats(
             leaf=len(self._state.metadata.items),
-            tree_stats=[rec(r) for r in self._state.metadata.roots],
+            tree_stats=[walk(r) for r in self._state.metadata.roots],
         )
 
     # -- plot (reference: src/reader.rs:403-469) -------------------------

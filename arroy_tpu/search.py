@@ -60,6 +60,27 @@ def pops_budget(idx: DeviceIndex, search_k: int, exhaustive: bool) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _expand_one_log(log1, leaf_off, leaf_cnt, leaf_items, cap):
+    """One query's leaf log -> `cap` candidate slots (-1 padded): a
+    cumsum/searchsorted window expansion over the CSR rows the traversal
+    popped.  Shared by the XLA and Pallas traversal paths so their
+    outputs stay bit-identical by construction."""
+    l_cap = log1.shape[0]
+    cap_iota = jnp.arange(cap, dtype=jnp.int32)
+    l_iota = jnp.arange(l_cap, dtype=jnp.int32)
+    n_leaf = log1[l_cap - 1]  # running count kept in the tail slot
+    live_l = l_iota < n_leaf  # entries >= n_leaf are stale
+    counts = jnp.where(live_l, leaf_cnt[log1], 0)
+    ends = jnp.cumsum(counts)
+    sel = jnp.searchsorted(ends, cap_iota, side="right").astype(jnp.int32)
+    sel_c = jnp.minimum(sel, l_cap - 1)
+    start = ends[sel_c] - counts[sel_c]
+    src = leaf_off[log1[sel_c]] + (cap_iota - start)
+    total = jnp.minimum(ends[l_cap - 1], cap)
+    vals = leaf_items[jnp.minimum(src, leaf_items.shape[0] - 1)]
+    return jnp.where(cap_iota < total, vals, -1)
+
+
 def _traverse_impl(
     metric,
     search_k,
@@ -161,18 +182,7 @@ def _traverse_impl(
         )
 
         # ---- expansion: leaf log -> candidate slots, one big gather ----
-        n_leaf = leaf_log[l_cap - 1]
-        rows_l = leaf_log  # [l_cap]; entries >= n_leaf are stale
-        live_l = l_iota < n_leaf
-        counts = jnp.where(live_l, leaf_cnt[rows_l], 0)
-        ends = jnp.cumsum(counts)
-        sel = jnp.searchsorted(ends, cap_iota, side="right").astype(jnp.int32)
-        sel_c = jnp.minimum(sel, l_cap - 1)
-        start = ends[sel_c] - counts[sel_c]
-        src = leaf_off[rows_l[sel_c]] + (cap_iota - start)
-        total = jnp.minimum(ends[l_cap - 1], cap)
-        vals = leaf_items[jnp.minimum(src, leaf_items.shape[0] - 1)]
-        return jnp.where(cap_iota < total, vals, -1), pops, n_cand
+        return _expand_one_log(leaf_log, leaf_off, leaf_cnt, leaf_items, cap), pops, n_cand
 
     def one_filtered(qv1, qf1, margins1):
         """Filtered traversal: windows must be filter-compacted inside the
@@ -314,9 +324,11 @@ _rescore_batch = functools.partial(
 
 
 def _rescore_matmul_impl(
-    metric, dims, k, rows, norms, extras, slot_to_id, live, cand, qv, qn, qe,
+    metric, dims, k, rows, norms, extras, slot_to_id, cand, qv, qn, qe,
     normalize=True,
 ):
+    # (no `live` mask needed: candidates come from built leaf CSRs, which
+    # only ever contain live slots; padding is handled via `invalid`)
     """MXU re-score: one [B,d]x[d,M] matmul + per-candidate value gather.
 
     When B*cap >= M every item row is cheaper to stream once through the
@@ -396,14 +408,18 @@ def traversal_mode(idx: DeviceIndex, has_filter: bool, pmax: int, search_k: int,
     VMEM-resident kernel (ops/pallas_traverse.py).
 
     ``auto`` currently means XLA (the Pallas kernel is opt-in until its
-    on-chip numbers are in); ``ARROY_TRAVERSAL=pallas|xla`` overrides.
-    Filtered searches and indexes too big for VMEM always use XLA.
+    on-chip numbers are in); ``ARROY_TRAVERSAL=pallas|xla`` resolves
+    ``auto`` only — an explicit argument always wins (so A/B reference
+    arms can't be flipped by a leaked env var).  Filtered searches and
+    indexes too big for VMEM always use XLA.
     """
     import os
 
     from .ops.pallas_traverse import fits
 
-    want = os.environ.get("ARROY_TRAVERSAL", want or "auto").lower()
+    want = (want or "auto").lower()
+    if want == "auto":
+        want = os.environ.get("ARROY_TRAVERSAL", "auto").lower()
     if want != "pallas" or has_filter:
         return "xla"
     t = max(len(idx.roots), 1)
@@ -457,7 +473,12 @@ def make_search_fn(
     roots = jnp.asarray(np.asarray(idx.roots, np.int32))
     sk_dyn = jnp.int32(sk_exact)
     trav = traversal_mode(idx, has_filter, pmax, int(sk), traversal)
-    roots_np = np.asarray(idx.roots, np.int32)
+    if trav == "pallas":
+        from .ops.pallas_traverse import make_init_node
+
+        # uploaded once at bind time, never per call (tunnel transfers
+        # cost ~30 ms each)
+        init_node = jnp.asarray(make_init_node(np.asarray(idx.roots, np.int32), pmax))
 
     def fn(qv, qn, qe, qf):
         if trav == "pallas":
@@ -474,7 +495,7 @@ def make_search_fn(
                 idx.leaf_off,
                 idx.leaf_cnt,
                 idx.leaf_items,
-                roots_np,
+                init_node,
                 qv,
                 qf,
                 sk_dyn,
@@ -510,7 +531,6 @@ def make_search_fn(
                 idx.norms,
                 idx.extras,
                 idx.slot_to_id,
-                idx.live,
                 cand,
                 qv,
                 qn,
@@ -686,7 +706,8 @@ def exact_batch(idx: DeviceIndex, qv, qn, qe, count: int, fast: bool = False):
             live,
             jnp.asarray(qv),
             jnp.asarray(qn),
-            _jax.default_backend() != "tpu",  # interpret off-TPU
+            _jax.default_backend() == "cpu",  # interpret only on CPU (the
+            # TPU backend registers as "axon" through the tunnel plugin)
         )
         ids = np.asarray(ids).astype(np.int64)
         dists = np.asarray(dists)

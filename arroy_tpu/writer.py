@@ -25,7 +25,6 @@ Public surface mirrors the reference `Writer`/`ArroyBuilder`
 from __future__ import annotations
 
 import math
-import sys
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
@@ -305,7 +304,6 @@ class Writer:
         # 5. delete removed items from every tree (reference: src/writer.rs:978-1114)
         opt.progress(WriterProgress(MainStep.REMOVE_ITEMS_FROM_EXISTING_TREES))
         if len(to_delete):
-            sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
             roots = [
                 self._delete_items_in_tree(forest, r, to_delete, split_after, cancelled)
                 for r in roots
@@ -381,14 +379,23 @@ class Writer:
             aux_lookup = ctx.staging_aux_np()
             if not len(aux_lookup):
                 aux_lookup = np.zeros(1, np.float32)
-            routed = route_items(
-                ctx,
-                normals_matrix,
-                aux_lookup,
-                [(r, insert_slots) for r in roots],
-                jax.random.fold_in(key, 0x0F0F),
-            )
-            for nid, slot_lists in routed.items():
+            # honour the memory budget: in streaming mode each routed
+            # batch uploads only its own rows (reference fit_in_memory
+            # batches the insert set the same way, src/writer.rs:846-888)
+            chunk = budget_items if budget_items is not None else len(insert_slots)
+            routed_all: dict[int, list[np.ndarray]] = {}
+            for off in range(0, len(insert_slots), max(chunk, 1)):
+                part = insert_slots[off : off + chunk]
+                routed = route_items(
+                    ctx,
+                    normals_matrix,
+                    aux_lookup,
+                    [(r, part) for r in roots],
+                    jax.random.fold_in(key, 0x0F0F + off),
+                )
+                for nid, ls in routed.items():
+                    routed_all.setdefault(nid, []).extend(ls)
+            for nid, slot_lists in routed_all.items():
                 slots = np.concatenate(slot_lists)
                 ids = np.unique(slot_to_id[slots].astype(np.int64)).astype(np.uint32)
                 old = forest.leaves.get(nid, np.empty(0, np.uint32))
@@ -404,6 +411,11 @@ class Writer:
             roots.append(new_id)
             descendants[new_id] = all_items
 
+        # one unit = one item placed into a leaf of one tree: every tree
+        # being (re)grown places each of its items exactly once
+        sub.max = max(
+            sum(len(items) for items in descendants.values()), 1
+        )
         opt.progress(
             WriterProgress(MainStep.CREATE_TREES_FOR_ITEMS, sub)
         )
@@ -412,6 +424,7 @@ class Writer:
             cancelled()
             if len(items) <= split_after:
                 forest.put_leaf(nid, items.ids)
+                on_indexed(len(items))
             else:
                 seeds.append((nid, st.store.slots_of(items.ids)))
 
@@ -445,24 +458,37 @@ class Writer:
             np.asarray(jax.random.key_data(key)).ravel()
         )
         stack = list(seeds)
-        depth_guard = 0
+        #: re-growth attempts per node: the batch skeleton can fail to
+        #: shrink a pathological node (e.g. all-duplicate vectors); after
+        #: a few keyed retries accept it as an oversized descendant — the
+        #: budget-mode twin of grow_trees' _MAX_LEVELS safety valve
+        attempts: dict[int, int] = {}
+        _MAX_REGROW = 8
         while stack:
-            depth_guard += 1
             nid, slots = stack.pop()
             slots = np.asarray(slots, dtype=np.int32)
-            if len(slots) <= ctx.split_after:
+            att = attempts.get(nid, 0)
+            attempts[nid] = att + 1
+            if len(slots) <= ctx.split_after or att >= _MAX_REGROW:
                 ids = np.sort(ctx.slot_to_id[slots].astype(np.int64)).astype(np.uint32)
                 ctx.forest.put_leaf(nid, ids)
+                ctx.on_items_indexed(len(ids))
                 continue
-            batch_n = min(len(slots), max(ctx.budget_items, ctx.dims + 1))
+            # the sampled skeleton batch must itself be splittable, or the
+            # routed remainder collapses back onto `nid` forever
+            batch_n = min(
+                len(slots),
+                max(ctx.budget_items, ctx.dims + 1, ctx.split_after + 1),
+            )
+            grow_key = jax.random.fold_in(jax.random.fold_in(key, nid), att)
             if batch_n >= len(slots):
-                grow_trees(ctx, [(nid, slots)], jax.random.fold_in(key, nid))
+                grow_trees(ctx, [(nid, slots)], grow_key)
                 continue
             sel = rng.choice(len(slots), size=batch_n, replace=False)
             mask = np.zeros(len(slots), bool)
             mask[sel] = True
             batch, rest = slots[mask], slots[~mask]
-            grow_trees(ctx, [(nid, batch)], jax.random.fold_in(key, nid))
+            grow_trees(ctx, [(nid, batch)], grow_key)
             # route the remainder through the fresh skeleton in budget batches
             normals_matrix = ctx.staging_matrix_dev()
             aux_lookup = ctx.staging_aux_np()
@@ -485,12 +511,13 @@ class Writer:
             for lid, slot_lists in routed_all.items():
                 old_ids = ctx.forest.leaves.get(lid, np.empty(0, np.uint32))
                 old_slots = (
-                    _ids_to_slots(ctx.slot_to_id, old_ids) if len(old_ids) else np.empty(0, np.int32)
+                    ctx.ids_to_slots(old_ids) if len(old_ids) else np.empty(0, np.int32)
                 )
                 merged = np.unique(np.concatenate([old_slots, *slot_lists])).astype(np.int32)
                 if len(merged) <= ctx.split_after:
                     ids = np.sort(ctx.slot_to_id[merged].astype(np.int64)).astype(np.uint32)
                     ctx.forest.put_leaf(lid, ids)
+                    ctx.on_items_indexed(len(ids))
                 else:
                     stack.append((lid, merged))
 
@@ -498,47 +525,52 @@ class Writer:
     def _delete_items_in_tree(
         forest: Forest, root: int, to_delete: ItemSet, split_after: int, cancelled
     ) -> int:
-        """Prune + collapse pass (reference: src/writer.rs:1021-1114)."""
+        """Prune + collapse pass (reference: src/writer.rs:1021-1114).
 
-        def rec(nid: int):
+        Iterative post-order (explicit stack): incremental builds can
+        graft subtrees under existing leaves build after build, so tree
+        height is unbounded — Python recursion would exhaust the C stack.
+        """
+        # results[nid] = (replacement_nid, leaf_ids_or_None)
+        results: dict[int, tuple[int, object]] = {}
+        stack: list[tuple[int, bool]] = [(int(root), False)]
+        while stack:
             cancelled()
-            k = forest.kind[nid]
-            if k == KIND_LEAF:
-                old = forest.leaves[nid]
-                new = ItemSet.from_sorted(old).difference(to_delete).ids
-                if len(new) != len(old):
-                    forest.put_leaf(nid, new)
-                return nid, new
-            nl, li = rec(int(forest.left[nid]))
-            nr, ri = rec(int(forest.right[nid]))
+            nid, expanded = stack.pop()
+            if not expanded:
+                if forest.kind[nid] == KIND_LEAF:
+                    old = forest.leaves[nid]
+                    new = ItemSet.from_sorted(old).difference(to_delete).ids
+                    if len(new) != len(old):
+                        forest.put_leaf(nid, new)
+                    results[nid] = (nid, new)
+                    continue
+                stack.append((nid, True))
+                stack.append((int(forest.left[nid]), False))
+                stack.append((int(forest.right[nid]), False))
+                continue
+            nl, li = results.pop(int(forest.left[nid]))
+            nr, ri = results.pop(int(forest.right[nid]))
             if li is not None and len(li) == 0:
                 forest.remove(nl)
                 forest.remove(nid)
-                return nr, ri
+                results[nid] = (nr, ri)
+                continue
             if ri is not None and len(ri) == 0:
                 forest.remove(nr)
                 forest.remove(nid)
-                return nl, li
-            if li is not None and ri is not None:
-                total = len(li) + len(ri)
-                if total <= split_after:
-                    forest.remove(nl)
-                    forest.remove(nr)
-                    merged = np.union1d(li, ri).astype(np.uint32)
-                    forest.put_leaf(nid, merged)
-                    return nid, merged
+                results[nid] = (nl, li)
+                continue
+            if li is not None and ri is not None and len(li) + len(ri) <= split_after:
+                forest.remove(nl)
+                forest.remove(nr)
+                merged = np.union1d(li, ri).astype(np.uint32)
+                forest.put_leaf(nid, merged)
+                results[nid] = (nid, merged)
+                continue
             forest.left[nid] = nl
             forest.right[nid] = nr
-            return nid, None
-
-        new_root, _ = rec(int(root))
-        return int(new_root)
+            results[nid] = (nid, None)
+        return int(results[int(root)][0])
 
 
-def _ids_to_slots(slot_to_id: np.ndarray, ids: np.ndarray) -> np.ndarray:
-    live = np.nonzero(slot_to_id >= 0)[0]
-    order = np.argsort(slot_to_id[live])
-    sorted_ids = slot_to_id[live][order]
-    sorted_slots = live[order].astype(np.int32)
-    pos = np.searchsorted(sorted_ids, ids.astype(np.int64))
-    return sorted_slots[np.minimum(pos, max(len(sorted_ids) - 1, 0))]

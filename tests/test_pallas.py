@@ -87,3 +87,20 @@ def test_pallas_traversal_exhaustive_and_tiny_search_k():
         got = _searcher_results(r, q, "pallas", count=5, search_k=sk)
         want = _searcher_results(r, q, "xla", count=5, search_k=sk)
         assert got == want
+
+
+def test_explicit_traversal_beats_env(monkeypatch):
+    from arroy_tpu.search import pops_budget, traversal_mode
+
+    from .util import build_db, random_vectors
+
+    x = random_vectors(100, 16, seed=10)
+    db, w, r = build_db(x, metric="euclidean", n_trees=2)
+    idx = r._device()
+    pmax = pops_budget(idx, 32, False)
+    monkeypatch.setenv("ARROY_TRAVERSAL", "pallas")
+    # env resolves "auto" but never an explicit argument
+    assert traversal_mode(idx, False, pmax, 32, "auto") == "pallas"
+    assert traversal_mode(idx, False, pmax, 32, "xla") == "xla"
+    monkeypatch.setenv("ARROY_TRAVERSAL", "xla")
+    assert traversal_mode(idx, False, pmax, 32, "pallas") == "pallas"

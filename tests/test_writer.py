@@ -258,3 +258,37 @@ def test_streaming_build_matches_resident_quality():
     got = r.nns(10).search_k(10**6).by_vector(x[7])
     exact = r.exact_by_vectors(x[7][None], 10)[0]
     assert [i for i, _ in got] == [i for i, _ in exact]
+
+
+def test_budget_build_with_split_after_above_dims_terminates():
+    """Regression: when the memory-budget batch clamp (dims+1) was below
+    split_after, the budgeted grow built a leaf the router collapsed
+    straight back onto the stack — forever."""
+    import numpy as np
+
+    from arroy_tpu import Database, Reader, Writer
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((400, 8)).astype(np.float32)
+    db = Database()
+    w = Writer(db, 0, 8)
+    calls = [0]
+
+    def fuse():
+        calls[0] += 1
+        return calls[0] > 200_000  # trips only on a runaway loop
+
+    with db.write() as t:
+        w.add_items(t, np.arange(400, dtype=np.uint32), x)
+        (
+            w.builder(seed=5)
+            .n_trees(2)
+            .split_after(100)       # > dims
+            .available_memory(64)   # tiny: budget_items clamps to the floor
+            .cancel(fuse)
+            .build(t)
+        )
+    r = Reader.open(db.read(), 0, db)
+    assert r.n_items() == 400
+    got = r.nns(5).by_item(0)
+    assert len(got) == 5
