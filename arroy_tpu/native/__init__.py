@@ -95,10 +95,16 @@ def _layout(arrays: dict[str, np.ndarray]):
         if arr.dtype.hasobject or arr.dtype.str.startswith("|O"):
             raise TypeError(f"blob {n!r} has non-serializable dtype {arr.dtype}")
 
+    #: big blobs get their CRC computed later (natively, without tobytes
+    #: copies); the layout reserves the max uint32 width for them so the
+    #: final header can only SHRINK when the real value is substituted —
+    #: it must never outgrow the first blob offset
+    big = [arr.nbytes >= (1 << 20) for arr in payloads]
+
     def build(offset0):
         off = offset0
         es = []
-        for name, arr in zip(names, payloads):
+        for name, arr, is_big in zip(names, payloads, big):
             off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
             es.append(
                 {
@@ -107,9 +113,9 @@ def _layout(arrays: dict[str, np.ndarray]):
                     "shape": list(arr.shape),
                     "offset": off,
                     "nbytes": int(arr.nbytes),
-                    "crc32": int(zlib.crc32(arr.tobytes()) & 0xFFFFFFFF)
-                    if arr.nbytes < (1 << 20)
-                    else None,  # big blobs: crc computed natively below
+                    "crc32": 0xFFFFFFFF
+                    if is_big
+                    else int(zlib.crc32(arr.tobytes()) & 0xFFFFFFFF),
                 }
             )
             off += arr.nbytes
@@ -123,24 +129,28 @@ def _layout(arrays: dict[str, np.ndarray]):
     while 16 + len(hdr) > es[0]["offset"] if es else False:
         es, total = build(es[0]["offset"] + _ALIGN)
         hdr = json.dumps({"blobs": es}).encode()
-    return names, payloads, es, hdr, total
+    return names, payloads, es, big, hdr, total
 
 
 def write_container(path: str, arrays: dict[str, np.ndarray]) -> None:
     """Write all arrays into one container file, atomically."""
-    names, payloads, entries, hdr, total = _layout(arrays)
+    names, payloads, entries, big, hdr, total = _layout(arrays)
     lib = _load_lib()
     tmp = path + ".tmp"
+    first_off = entries[0]["offset"] if entries else 1 << 62
     if lib is not None:
         # fill big-blob CRCs natively
-        for e, arr in zip(entries, payloads):
-            if e["crc32"] is None:
+        for e, arr, is_big in zip(entries, payloads, big):
+            if is_big:
                 e["crc32"] = int(
                     lib.atc_crc32(
                         arr.ctypes.data_as(ctypes.c_void_p), ctypes.c_uint64(arr.nbytes)
                     )
                 )
         hdr = json.dumps({"blobs": entries}).encode()
+        # real CRCs are at most as wide as the 0xFFFFFFFF placeholder, so
+        # the finalized header always fits ahead of the first blob
+        assert 16 + len(hdr) <= first_off, "container header outgrew its slot"
         n = len(payloads)
         ptrs = (ctypes.c_void_p * n)(
             *[arr.ctypes.data_as(ctypes.c_void_p).value for arr in payloads]
@@ -154,10 +164,11 @@ def write_container(path: str, arrays: dict[str, np.ndarray]) -> None:
             raise OSError(f"atc_write failed with code {rc}")
         return
     # pure-python fallback (same format)
-    for e, arr in zip(entries, payloads):
-        if e["crc32"] is None:
+    for e, arr, is_big in zip(entries, payloads, big):
+        if is_big:
             e["crc32"] = int(zlib.crc32(arr.tobytes()) & 0xFFFFFFFF)
     hdr = json.dumps({"blobs": entries}).encode()
+    assert 16 + len(hdr) <= first_off, "container header outgrew its slot"
     with open(tmp, "wb") as f:
         f.write(_MAGIC)
         f.write(len(hdr).to_bytes(8, "little"))
@@ -204,6 +215,7 @@ class Container:
 
     def array(self, name: str) -> np.ndarray:
         """Zero-copy numpy view into the mapped file (read-only)."""
+        self._vended = True
         e = self._entries[name]
         out = np.frombuffer(
             self._buf, dtype=np.dtype(e["dtype"]), count=int(np.prod(e["shape"], dtype=np.int64)) if e["shape"] else 1, offset=e["offset"]
@@ -222,8 +234,17 @@ class Container:
             if crc != e["crc32"]:
                 raise OSError(f"crc mismatch for blob {name!r} in {self.path}")
 
-    def close(self) -> None:
+    def close(self, force: bool = False) -> None:
+        """`force=True` asserts no `array()` views outlive the container
+        (callers that copied everything, e.g. persist.load)."""
         if self._base is not None and self._lib is not None:
+            if getattr(self, "_vended", False) and not force:
+                # numpy views from array() alias the mapping through a raw
+                # ctypes buffer (no buffer-protocol refcount), so munmap
+                # would be a use-after-free; keep the map for the process
+                # lifetime — the same semantics as the fallback's
+                # BufferError branch below
+                return
             self._lib.atc_close(self._base, self._size)
             self._base = None
         if self._mm is not None:

@@ -64,22 +64,24 @@ class ShardedForestIndex:
             n_rows = max(p[key].shape[0] for p in packs)
             return np.stack([_pad_to(p[key], n_rows, fill) for p in packs])
 
+        # pad node tables with FREE rows so stray ids read as dead nodes;
+        # every table gets one guaranteed-FREE trailing row (id n_rows)
+        # that root padding points at — padding roots with 0 would
+        # traverse a real node as a phantom extra tree, wasting that
+        # shard's candidate budget on duplicates
+        node_tables = []
+        n_rows = max(p["node_table"].shape[0] for p in packs) + 1
+        for p in packs:
+            nt = p["node_table"]
+            pad = np.zeros((n_rows - nt.shape[0], 8), np.int32)
+            pad[:, 0] = KIND_FREE
+            node_tables.append(np.concatenate([nt, pad]))
         roots = np.stack(
             [
-                _pad_to(np.asarray(p["roots"], np.int32), t, 0)
+                _pad_to(np.asarray(p["roots"], np.int32), t, n_rows - 1)
                 for p in packs
             ]
         )
-        # pad node tables with FREE rows so stray ids read as dead nodes
-        node_tables = []
-        n_rows = max(p["node_table"].shape[0] for p in packs)
-        for p in packs:
-            nt = p["node_table"]
-            if nt.shape[0] < n_rows:
-                pad = np.zeros((n_rows - nt.shape[0], 8), np.int32)
-                pad[:, 0] = KIND_FREE
-                nt = np.concatenate([nt, pad])
-            node_tables.append(nt)
 
         sh = lambda *spec: NamedSharding(mesh, P(*spec))
         put = lambda a, spec: jax.device_put(jnp.asarray(a), sh(*spec))
@@ -161,8 +163,16 @@ class ShardedForestIndex:
         """Fan-out query: returns (ids [B, count] int64, dists [B, count])."""
         metric, dims = self.metric, self.dims
         n = self.mesh.devices.size
+        b = len(np.asarray(queries))
+        if self.n_items_total == 0 or self.n_trees == 0:
+            return (
+                np.zeros((b, count), np.int64),
+                np.full((b, count), np.nan, np.float32),
+            )
         if search_k is None:
-            search_k = count * self.n_trees * n
+            # match the single-chip default budget (reader._effective_search_k):
+            # count x total trees, x the metric's oversampling (x3 for BQ)
+            search_k = count * self.n_trees * n * metric.default_oversampling
         sk_local = min(
             max(-(-search_k // n), count), max(self.csr_total, 1)
         )
@@ -209,7 +219,15 @@ class ShardedForestIndex:
             jax.device_put(jnp.asarray(qf), rep1),
             jnp.int32(sk_local),
         )
-        return np.asarray(ids).astype(np.int64), np.asarray(dists)
+        ids = np.asarray(ids).astype(np.int64)[:, :count]
+        dists = np.asarray(dists)[:, :count]
+        if ids.shape[1] < count:  # nan-pad like search_batch does
+            pad = count - ids.shape[1]
+            ids = np.concatenate([ids, np.zeros((b, pad), ids.dtype)], axis=1)
+            dists = np.concatenate(
+                [dists, np.full((b, pad), np.nan, dists.dtype)], axis=1
+            )
+        return ids, dists
 
 
 @functools.partial(

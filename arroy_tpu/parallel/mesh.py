@@ -38,9 +38,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def _sign_positive(x: jax.Array) -> jax.Array:
-    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    return (bits >> 31) == 0
+from ..builder import _sign_positive  # noqa: E402  (one definition of Side)
 
 
 # ---------------------------------------------------------------------------
@@ -125,7 +123,15 @@ def _sharded_exact(mesh, metric, dims, k, rows, norms, live, ids, qv, qn):
         kfin = min(k, all_neg.shape[1])
         neg2, idx2 = jax.lax.top_k(all_neg, kfin)
         out_ids = jnp.take_along_axis(all_ids, idx2, axis=1)
-        out_d = metric.normalized_distance(-neg2, dims)
+        raw = -neg2
+        # dead/padding slots carry +inf — mark them nan like every
+        # single-chip path does (their gathered id is the pad id 0, which
+        # is a legal item id, so distance is the only tell)
+        out_d = jnp.where(
+            raw < jnp.inf,
+            metric.normalized_distance(raw, dims),
+            jnp.float32(jnp.nan),
+        )
         return out_ids, out_d
 
     return step(rows, norms, live, ids, qv, qn)

@@ -113,13 +113,19 @@ class Database:
         """Pick up commits made by other processes (LMDB MVCC reopen)."""
         if self.path is None:
             return
+        stamp0 = self._manifest_stamp
         stamp = self._stat_manifest()
-        if stamp == self._manifest_stamp:
+        if stamp == stamp0:
             return
         from . import persist
 
         fresh = persist.load(self.path)
         with self._lock:
+            if self._manifest_stamp != stamp0:
+                # a local commit raced this reload; its snapshot is newer
+                # than `fresh` — dropping indexes based on the stale disk
+                # state would un-commit it (non-monotonic read)
+                return
             for idx, st in fresh.items():
                 cur = self._committed.get(idx)
                 if cur is None or st.generation > cur.generation:
@@ -127,6 +133,7 @@ class Database:
             for idx in list(self._committed):
                 if idx not in fresh:
                     self._committed.pop(idx)
+                    self._device_cache.pop(idx, None)
             self._manifest_stamp = stamp
 
     # -- transactions --------------------------------------------------
@@ -143,6 +150,7 @@ class Database:
             new = dict(self._committed)
             for idx in dropped:
                 new.pop(idx, None)
+                self._device_cache.pop(idx, None)
             new.update(states)
             if self.path is not None:
                 from . import persist
@@ -187,19 +195,26 @@ class WriteTxn:
         self.db = db
         db._write_lock.acquire()
         self._flock = None
-        if db.path is not None:
-            # cross-process single-writer exclusion (the LMDB writer lock)
-            import fcntl
-            import os
+        self._open = False
+        try:
+            if db.path is not None:
+                # cross-process single-writer exclusion (the LMDB writer lock)
+                import fcntl
+                import os
 
-            os.makedirs(db.path, exist_ok=True)
-            self._flock = open(os.path.join(db.path, "LOCK"), "a+")
-            fcntl.flock(self._flock.fileno(), fcntl.LOCK_EX)
-            db._maybe_reload()
-        self._base = dict(db._committed)
-        self._states: dict[int, IndexState] = {}
-        self._dropped: set[int] = set()
-        self._open = True
+                os.makedirs(db.path, exist_ok=True)
+                self._flock = open(os.path.join(db.path, "LOCK"), "a+")
+                fcntl.flock(self._flock.fileno(), fcntl.LOCK_EX)
+                db._maybe_reload()
+            self._base = dict(db._committed)
+            self._states: dict[int, IndexState] = {}
+            self._dropped: set[int] = set()
+            self._open = True
+        except BaseException:
+            if self._flock is not None:
+                self._flock.close()
+            db._write_lock.release()
+            raise
 
     # a WriteTxn is also readable (LMDB RwTxn semantics)
     def state(self, index: int) -> Optional[IndexState]:
@@ -244,9 +259,18 @@ class WriteTxn:
         if not self._open:
             raise ArroyError("transaction already closed")
         # every touched state gets a fresh generation so persistence and
-        # device caches see the change (the LMDB txn-id role)
+        # device caches see the change (the LMDB txn-id role).  The new
+        # generation is database-global monotonic — a per-state counter
+        # would restart at 1 after drop_index+recreate and collide with
+        # the old on-disk generation and device cache, silently serving
+        # (and keeping) the dropped index's data.
+        gen = 1 + max(
+            [st.generation for st in self._base.values()]
+            + [st.generation for st in self._states.values()]
+            + [0]
+        )
         for st in self._states.values():
-            st.generation += 1
+            st.generation = gen
         self.db._publish(self._states, self._dropped)
         self._close()
 

@@ -69,6 +69,7 @@ def save(root: str, states) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, manifest_path)
+    _fsync_dir(root)
     _gc(root, indexes)
 
 
@@ -139,11 +140,46 @@ def _write_state(gen_dir: str, st) -> None:
 
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
 
+    # durability: every generation file must reach disk before the
+    # manifest can point at it — fsync any file the writers above did not
+    # (npy path), then the directory entries themselves
+    if not use_container:
+        for name in os.listdir(tmp_dir):
+            fd = os.open(os.path.join(tmp_dir, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+    _fsync_dir(tmp_dir)
     os.replace(tmp_dir, gen_dir)
+    _fsync_dir(os.path.dirname(gen_dir))
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def load(root: str) -> dict[int, "IndexState"]:
+    """Load the manifest's generations, retrying if a concurrent commit
+    garbage-collects the generation we were reading mid-load (readers
+    must see either the old or the new commit, never a crash)."""
+    last: Exception | None = None
+    for _ in range(5):
+        try:
+            return _load_once(root)
+        except (FileNotFoundError, OSError) as e:
+            last = e
+    raise last
+
+
+def _load_once(root: str) -> dict[int, "IndexState"]:
     from .database import IndexState, Metadata
 
     manifest_path = os.path.join(root, "MANIFEST.json")
@@ -166,6 +202,7 @@ def load(root: str) -> dict[int, "IndexState"]:
         metric = metric_by_name(meta["metric"])
         dims = int(meta["dims"])
 
+        container = None
         if meta.get("store", "npy") == "container":
             from .. import native
 
@@ -225,11 +262,15 @@ def load(root: str) -> dict[int, "IndexState"]:
             version=Version.parse(meta["version"]),
             generation=int(meta["generation"]),
         )
+        if container is not None:
+            container.close(force=True)  # every array was copied above
     return out
 
 
 def _gc(root: str, indexes: dict[str, dict]) -> None:
-    """Best-effort removal of superseded generation directories."""
+    """Best-effort removal of superseded generation directories (and of
+    dropped indexes' directories).  Readers racing this are covered by
+    `load`'s retry loop."""
     for key, info in indexes.items():
         idir = _index_dir(root, int(key))
         if not os.path.isdir(idir):
@@ -238,3 +279,8 @@ def _gc(root: str, indexes: dict[str, dict]) -> None:
         for name in os.listdir(idir):
             if name != keep:
                 shutil.rmtree(os.path.join(idir, name), ignore_errors=True)
+    live = {_index_dir(root, int(k)) for k in indexes}
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if name.startswith("idx_") and os.path.isdir(p) and p not in live:
+            shutil.rmtree(p, ignore_errors=True)

@@ -65,3 +65,24 @@ def test_zero_copy_view(tmp_path):
     v = c.array("vectors")
     assert not v.flags.writeable  # mmap view is read-only
     assert not v.flags.owndata
+
+
+def test_many_big_blobs_header_fits(tmp_path):
+    """Regression: the layout reserved 4 chars (`null`) per big-blob CRC
+    and substituting real 10-digit CRCs overflowed the header into the
+    first blob with ~11+ blobs >= 1MB, corrupting the file silently."""
+    import numpy as np
+
+    from arroy_tpu.native import Container, write_container
+
+    rng = np.random.default_rng(0)
+    arrays = {
+        f"blob_{i:02d}": rng.integers(0, 255, 1_300_000, dtype=np.uint8)
+        for i in range(15)
+    }
+    p = str(tmp_path / "big.atc")
+    write_container(p, arrays)
+    with Container(p, verify=True) as c:
+        for name, arr in arrays.items():
+            got = np.array(c.array(name))
+            np.testing.assert_array_equal(got, arr)

@@ -66,3 +66,17 @@ def test_sharded_margin_step_matches_local():
         [np.sum(np.signbit(want_m[seg == i])) for i in range(g)], np.int32
     )
     np.testing.assert_array_equal(np.asarray(left), want_left)
+
+
+def test_sharded_exact_pads_with_nan_not_id_zero():
+    """Regression: shards holding only padding rows contributed
+    (id=0, dist=inf) entries — indistinguishable from a real hit on item
+    0; they must surface as nan like every single-chip path."""
+    x = np.asarray(np.random.default_rng(3).standard_normal((10, 16)), np.float32)
+    mesh = make_mesh()
+    idx = ShardedExactIndex(mesh, x, metric="euclidean")
+    ids, dists = idx.search(x[:4], 16)
+    for row_i, row_d in zip(ids, dists):
+        valid = ~np.isnan(row_d)
+        assert valid.sum() == 10  # exactly the live items
+        assert sorted(row_i[valid]) == sorted(set(row_i[valid]))

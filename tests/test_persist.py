@@ -112,3 +112,55 @@ def test_bq_roundtrip(tmp_path):
     v = r.item_vector(3)
     assert set(np.unique(v)) <= {-1.0, 1.0}
     r.assert_validity()
+
+
+def test_drop_and_recreate_persists_new_data(tmp_path):
+    """Regression: per-state generation counters restarted at 0 after
+    drop_index+recreate, colliding with the old on-disk generation —
+    save() skipped the write and the dropped corpus survived."""
+    import numpy as np
+
+    from arroy_tpu import Database, Reader, Writer
+
+    root = str(tmp_path / "db")
+    db = Database(root)
+    w = Writer(db, 0, 8)
+    with db.write() as t:
+        w.add_items(t, np.arange(5, dtype=np.uint32), np.eye(5, 8, dtype=np.float32))
+        w.builder(seed=1).n_trees(2).build(t)
+
+    with db.write() as t:
+        t.drop_index(0)
+        w2 = Writer(db, 0, 8)
+        w2.add_items(
+            t, np.asarray([100, 101, 102], np.uint32), np.eye(3, 8, dtype=np.float32)
+        )
+        w2.builder(seed=2).n_trees(2).build(t)
+
+    # same process: the device cache must not serve the dropped corpus
+    r = Reader.open(db.read(), 0, db)
+    assert sorted(int(i) for i in r.item_ids()) == [100, 101, 102]
+    got = r.nns(3).by_vector(np.eye(1, 8, dtype=np.float32)[0])
+    assert {i for i, _ in got} <= {100, 101, 102}
+
+    # fresh process image: disk must hold the new corpus too
+    db2 = Database(root)
+    r2 = Reader.open(db2.read(), 0, db2)
+    assert sorted(int(i) for i in r2.item_ids()) == [100, 101, 102]
+
+
+def test_drop_only_commit_removes_index_from_disk(tmp_path):
+    import numpy as np
+
+    from arroy_tpu import Database, Writer
+
+    root = str(tmp_path / "db")
+    db = Database(root)
+    w = Writer(db, 0, 4)
+    with db.write() as t:
+        w.add_items(t, np.arange(3, dtype=np.uint32), np.eye(3, 4, dtype=np.float32))
+        w.builder(seed=1).n_trees(1).build(t)
+    with db.write() as t:
+        t.drop_index(0)
+    db2 = Database(root)
+    assert db2.read().state(0) is None
