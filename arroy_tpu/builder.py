@@ -486,9 +486,9 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             l_id = ctx.alloc.next()
             r_id = ctx.alloc.next()
             if none_mask[i]:
-                ctx.forest.put_split(nid, l_id, r_id, None, 0.0)
+                ctx.forest.put_split(nid, l_id, r_id, None)
             else:
-                ctx.forest.put_split(nid, l_id, r_id, int(row_of_seg[i]), float(aux[i]))
+                ctx.forest.put_split(nid, l_id, r_id, int(row_of_seg[i]))
             for cid, cs, cl in ((l_id, s, lc), (r_id, s + lc, ln - lc)):
                 splits = cl > ctx.split_after
                 new_starts.append(cs)

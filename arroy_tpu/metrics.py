@@ -37,6 +37,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def _next_pow2_int(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 from .ops.binary import (
     bq_dot_rowwise,
     hamming_rowwise,
@@ -230,8 +237,9 @@ class _BQMetric(Metric):
     @classmethod
     def margin_matrix(cls, normals, aux, qv, qf):
         # chunk the [B, S, w] XOR broadcast along S to bound the temporary
+        # (and never pad a small forest up to a full chunk of dead work)
         s = normals.shape[0]
-        chunk = 2048
+        chunk = min(2048, max(_next_pow2_int(s), 8))
         n_chunks = -(-s // chunk)
         pad = n_chunks * chunk
         norm_p = jnp.concatenate(
@@ -274,9 +282,7 @@ class Euclidean(_F32Metric):
         diff = X - qv
         return jnp.sum(diff * diff, axis=-1)
 
-    @classmethod
-    def normalized_distance(cls, d, dims):
-        return jnp.sqrt(jnp.maximum(d, 0.0))
+    # normalized_distance: sqrt(d) — inherited from Metric
 
     @classmethod
     def tm_nonbuilt(cls, pv, pe, ph, kv, ke, kh):
@@ -327,7 +333,10 @@ class Cosine(_F32Metric):
 
     @classmethod
     def item_norms_np(cls, rows, dims):
-        return np.sqrt(np.sum(rows.astype(np.float64) ** 2, axis=-1)).astype(np.float32)
+        # f64 accumulation without materializing f64 copies of the matrix
+        return np.sqrt(
+            np.einsum("...d,...d->...", rows, rows, dtype=np.float64)
+        ).astype(np.float32)
 
     @classmethod
     def built_distance(cls, qv, qn, qe, X, Xn, Xe):

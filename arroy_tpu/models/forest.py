@@ -48,7 +48,10 @@ class NodeIdAllocator:
     def next(self) -> int:
         if self._available:
             return self._available.pop()
-        if self._next > 0xFFFFFFFF:
+        # the node tables store ids as int32, so the practical cap is
+        # i32::MAX (the reference errors at u32 overflow; ours fires at
+        # the dtype limit the arrays can actually hold)
+        if self._next > 0x7FFFFFFF:
             raise DatabaseFull()
         nid = self._next
         self._next += 1
@@ -102,16 +105,21 @@ class Forest:
 
     # -- mutation ------------------------------------------------------
     def put_leaf(self, node_id: int, items: np.ndarray) -> None:
+        # an overwritten split's normal row is garbage-collected by repack
         self._ensure(node_id)
-        if self.kind[node_id] == KIND_SPLIT or self.kind[node_id] == KIND_SPLIT_NONE:
-            pass  # overwritten split; its normal row is garbage-collected by repack
         self.kind[node_id] = KIND_LEAF
-        self.leaves[node_id] = np.asarray(items, dtype=np.uint32)
+        # own a copy (clone() shares leaf arrays) and enforce the sorted
+        # invariant every consumer's searchsorted set-algebra relies on
+        ids = np.array(items, dtype=np.uint32, copy=True)
+        if len(ids) > 1 and (ids[1:] <= ids[:-1]).any():
+            raise ValueError(f"leaf {node_id}: items must be sorted unique u32s")
+        self.leaves[node_id] = ids
 
     def put_split(
-        self, node_id: int, left: int, right: int, normal_row: int | None, aux: float
+        self, node_id: int, left: int, right: int, normal_row: int | None
     ) -> None:
-        """normal_row indexes a caller-managed staging list; repack later."""
+        """normal_row indexes a caller-managed staging list (which also
+        holds the bias/aux per row); repack later."""
         self._ensure(node_id)
         self.leaves.pop(node_id, None)
         if normal_row is None:
@@ -122,7 +130,6 @@ class Forest:
             self.ptr[node_id] = normal_row
         self.left[node_id] = left
         self.right[node_id] = right
-        # aux is stored per normal row; SPLIT_NONE has margin forced to 0
 
     def remove(self, node_id: int) -> None:
         if node_id < self.kind.shape[0]:

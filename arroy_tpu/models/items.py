@@ -99,6 +99,10 @@ class ItemStore:
         if vector.shape != (self.dims,):
             raise InvalidVecDimension(self.dims, int(np.prod(vector.shape)))
         item = int(item)
+        if not (0 <= item <= 0xFFFFFFFF):
+            # item ids are u32 like the reference's ItemId; a negative id
+            # would collide with the -1 free-slot sentinel
+            raise ValueError(f"item id must be a u32, got {item}")
         slot = self._id_to_slot.get(item)
         if slot is None:
             if not self._free:
@@ -120,6 +124,8 @@ class ItemStore:
             raise InvalidVecDimension(self.dims, int(vectors.shape[-1]))
         if len(items) != len(vectors):
             raise ValueError("items and vectors length mismatch")
+        if len(items) and (items.min() < 0 or items.max() > 0xFFFFFFFF):
+            raise ValueError("item ids must be u32s")
         rows = self.metric.encode_np(vectors)
         norms = self.metric.item_norms_np(rows, self.dims)
         slots = np.empty(len(items), np.int64)
