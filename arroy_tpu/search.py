@@ -48,11 +48,26 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def pops_budget(idx: DeviceIndex, search_k: int, exhaustive: bool) -> int:
+def pops_budget(
+    idx: DeviceIndex, search_k: int, exhaustive: bool, selectivity: float = 1.0
+) -> int:
+    """Static pop bound for the traversal loop.
+
+    Unfiltered, every non-empty leaf pop yields >= 1 candidate, so
+    ``2*t + 2*search_k + 64`` is unreachable for default budgets.  With a
+    candidate filter only a ``selectivity`` fraction of each popped leaf
+    window counts toward search_k, so the budget scales by 1/selectivity
+    (bounded by the whole forest) instead of always walking every node —
+    the reference walks until its queue drains in that case
+    (reference: src/reader.rs:345-360), but its per-pop cost is a roaring
+    intersect while ours is a window compaction, so the budget is what
+    keeps filtered QPS in the same decade as unfiltered.
+    """
     t = max(len(idx.roots), 1)
     if exhaustive or search_k >= idx.n_items:
         return idx.n_nodes + t
-    return min(idx.n_nodes + t, 2 * t + 2 * search_k + 64)
+    sel = min(max(float(selectivity), 1e-9), 1.0)
+    return min(idx.n_nodes + t, 2 * t + int(np.ceil(2.0 * search_k / sel)) + 64)
 
 
 # ---------------------------------------------------------------------------
@@ -456,20 +471,57 @@ def make_search_fn(
         return empty_fn
 
     has_filter = filter_slots is not None
+    csr_total = max(int(idx.leaf_items.shape[0]) - idx.max_leaf, 1)
+    sk_exact = min(max(search_k, count), csr_total)
+
+    if has_filter and len(filter_slots) <= sk_exact:
+        # The filter pool fits inside the candidate budget: the reference's
+        # traversal would (best case) collect exactly these items before
+        # re-scoring (reference: src/reader.rs:345-360,381-391), so skip the
+        # forest walk entirely and re-score the whole filter set — exact
+        # results over the candidates, at gather+top_k cost.
+        n_f = len(filter_slots)
+        capf = _next_pow2(max(n_f, 1))
+        cand_np = np.full(capf, -1, np.int32)
+        cand_np[:n_f] = np.asarray(filter_slots, np.int32)
+        cand_const = jnp.asarray(cand_np)
+        kf = max(min(_next_pow2(count), capf), 1)
+
+        def filter_fn(qv, qn, qe, qf):
+            b = qv.shape[0]
+            cand = jnp.broadcast_to(cand_const, (b, capf))
+            mode = rescore_mode(idx.metric, int(b), capf, idx.n_items, rescore)
+            impl = _rescore_matmul if mode == "matmul" else _rescore_batch
+            return impl(
+                idx.metric,
+                idx.dims,
+                int(kf),
+                idx.rows,
+                idx.norms,
+                idx.extras,
+                idx.slot_to_id,
+                cand,
+                qv,
+                qn,
+                qe,
+            )
+
+        return filter_fn
+
     if has_filter:
         n_words = max((idx.cap + 31) // 32, 1)
         words = np.zeros(n_words, np.uint32)
         fs = np.asarray(filter_slots, dtype=np.int64)
         np.bitwise_or.at(words, fs >> 5, np.uint32(1) << (fs & 31).astype(np.uint32))
         filter_words = jnp.asarray(words)
+        selectivity = len(filter_slots) / max(idx.n_items, 1)
     else:
         filter_words = jnp.zeros(1, jnp.uint32)
+        selectivity = 1.0
 
-    csr_total = max(int(idx.leaf_items.shape[0]) - idx.max_leaf, 1)
-    sk_exact = min(max(search_k, count), csr_total)
     sk = _next_pow2(sk_exact)
     k = max(min(_next_pow2(count), sk + idx.max_leaf), 1)
-    pmax = pops_budget(idx, sk_exact, has_filter)
+    pmax = pops_budget(idx, sk_exact, False, selectivity)
     roots = jnp.asarray(np.asarray(idx.roots, np.int32))
     sk_dyn = jnp.int32(sk_exact)
     trav = traversal_mode(idx, has_filter, pmax, int(sk), traversal)
