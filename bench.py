@@ -8,12 +8,18 @@ scaled up to a corpus size where the forest actually pays off.
 Prints ONE JSON line:
     {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
 
-vs_baseline is QPS / 1000: public CPU-arroy measurements put multi-core
-query throughput at roughly O(1k) QPS for 768-d corpora of this size at
-recall ≈ 0.95 (the reference repo itself publishes no absolute numbers —
-BASELINE.md); the north-star target of ≥ 20x/chip therefore corresponds
-to vs_baseline ≥ 20.  Detailed sub-metrics (build time, recall, exact-
-search QPS) go to stderr.
+vs_baseline divides by the grounded CPU-arroy estimate in
+BASELINE_CPU.json (cited derivation from public Annoy measurements —
+the reference publishes no absolute numbers and this image has no Rust
+toolchain to run its harnesses).  The north-star >=20x/chip target
+corresponds to vs_baseline >= 20.
+
+Robustness for the flaky TPU tunnel: the built index persists to a /tmp
+database (a retry skips the cold build + compile), the device probe
+retries once, and search_k auto-doubles until recall@k >= the target
+(default 0.95) so the metric name always advertises an honest operating
+point.  Sub-metrics (build/compile seconds, recall, search_k, exact QPS)
+are embedded in the JSON line and logged to stderr.
 """
 
 from __future__ import annotations
@@ -32,11 +38,20 @@ COUNT = int(os.environ.get("BENCH_K", 10))
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 ITERS = int(os.environ.get("BENCH_ITERS", 8))
 SEARCH_K = int(os.environ.get("BENCH_SEARCH_K", COUNT * N_TREES * 20))
+TARGET_RECALL = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 #: "clustered" mirrors the reference's sample_vectors crossover corpus
 #: (reference: examples/sample_vectors.rs) — embedding-like structured data;
 #: "random" is isotropic gaussian (the worst case for any RP-tree index).
 DATA = os.environ.get("BENCH_DATA", "clustered")
-ASSUMED_CPU_ARROY_QPS = 1000.0
+
+
+def _baseline_qps() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["cpu_arroy_qps"])
+    except Exception:
+        return 2500.0
 
 
 def make_corpus(rng, m, d):
@@ -55,20 +70,23 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _probe_tpu(timeout_s: float = 240.0) -> bool:
+def _probe_tpu(timeout_s: float = 240.0, retries: int = 1) -> bool:
     """Device init can hang when the TPU tunnel is down; probe in a child."""
     import subprocess
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except Exception:
-        return False
+    for attempt in range(retries + 1):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s,
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except Exception:
+            if attempt < retries:
+                log("TPU probe failed - retrying once")
+    return False
 
 
 def main():
@@ -105,58 +123,105 @@ def main():
     x = make_corpus(rng, M + BATCH, D)
     x, queries = x[:M], x[M:]
 
-    db = Database()
-    w = Writer(db, 0, D, metric="euclidean")
-    t0 = time.perf_counter()
-    with db.write() as wtxn:
-        w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
-        t_add = time.perf_counter()
-        w.builder(seed=42).n_trees(N_TREES).build(wtxn)
-        t_build = time.perf_counter()
-    log(f"add_items: {t_add - t0:.2f}s  build: {t_build - t_add:.2f}s")
+    # the built index persists across runs: a tunnel hiccup mid-bench only
+    # costs the query phase on retry, not the cold build
+    db_path = os.environ.get(
+        "BENCH_DB", f"/tmp/arroy_bench_{M}x{D}_t{N_TREES}_{DATA}"
+    )
+    db = Database(db_path)
+    st = db.read().state(0)
+    have = (
+        st is not None
+        and st.metadata is not None
+        and st.metadata.dimensions == D
+        and len(st.metadata.items) == M
+        and len(st.metadata.roots) == N_TREES
+        and not st.updated
+    )
+    build_s = 0.0
+    if have:
+        log(f"reusing persisted index at {db_path}")
+    else:
+        w = Writer(db, 0, D, metric="euclidean")
+        t0 = time.perf_counter()
+        with db.write() as wtxn:
+            wtxn.drop_index(0)
+            w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
+            t_add = time.perf_counter()
+            w.builder(seed=42).n_trees(N_TREES).build(wtxn)
+            t_build = time.perf_counter()
+        build_s = t_build - t_add
+        log(
+            f"add_items: {t_add - t0:.2f}s  build: {build_s:.2f}s"
+            f"  (persisted to {db_path})"
+        )
 
     r = Reader.open(db.read(), 0, db)
-    searcher = r.searcher(COUNT, search_k=SEARCH_K)
-    dq = searcher.prepare_queries(queries)
 
-    # warmup (compiles)
-    t0 = time.perf_counter()
-    jax.block_until_ready(searcher.device_fn(*dq))
-    log(f"warmup (compile): {time.perf_counter() - t0:.2f}s")
-
-    # timed, device-resident: queries stay on device, one sync at the end —
-    # the production serving shape (per-call host sync would measure the
-    # dev-tunnel RTT, not the engine)
-    t0 = time.perf_counter()
-    outs = [searcher.device_fn(*dq) for _ in range(ITERS)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    qps = ITERS * BATCH / dt
-    log(f"ann query (pipelined): {dt:.3f}s for {ITERS}x{BATCH} -> {qps:.0f} qps")
-
-    ids_dev, dists_dev = outs[-1]
-    got = [
-        [(int(i), float(d)) for i, d in zip(row_i, row_d) if not np.isnan(d)]
-        for row_i, row_d in zip(
-            np.asarray(ids_dev)[:, :COUNT], np.asarray(dists_dev)[:, :COUNT]
-        )
-    ]
-
-    # recall vs exact on a subsample
+    # exact oracle once (recall reference for every search_k attempt)
     nq = min(BATCH, 128)
     exact = r.exact_by_vectors(queries[:nq], COUNT)
-    got_r = got[:nq]
-    hits = sum(
-        len(set(i for i, _ in g) & set(i for i, _ in e)) for g, e in zip(got_r, exact)
-    )
-    recall = hits / (nq * COUNT)
-    log(f"recall@{COUNT}: {recall:.4f} (search_k={SEARCH_K})")
+    exact_sets = [set(i for i, _ in e) for e in exact]
+
+    search_k = SEARCH_K
+    # reuse the previously tuned search_k: every attempt costs a compile
+    # through the (slow) remote-compile relay, so a retried run should
+    # start from the known-good operating point
+    sk_sidecar = db_path + ".search_k"
+    if "BENCH_SEARCH_K" not in os.environ and have:
+        try:
+            with open(sk_sidecar) as f:
+                search_k = max(search_k, int(f.read().strip()))
+                log(f"reusing tuned search_k={search_k}")
+        except Exception:
+            pass
+    compile_s = qps = recall = 0.0
+    for attempt in range(3):
+        searcher = r.searcher(COUNT, search_k=search_k)
+        dq = searcher.prepare_queries(queries)
+
+        # warmup (compiles)
+        t0 = time.perf_counter()
+        jax.block_until_ready(searcher.device_fn(*dq))
+        compile_s = time.perf_counter() - t0
+        log(f"warmup (compile): {compile_s:.2f}s  [search_k={search_k}]")
+
+        # timed, device-resident: queries stay on device, one sync at the
+        # end — the production serving shape (per-call host sync would
+        # measure the dev-tunnel RTT, not the engine)
+        t0 = time.perf_counter()
+        outs = [searcher.device_fn(*dq) for _ in range(ITERS)]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        qps = ITERS * BATCH / dt
+        log(f"ann query (pipelined): {dt:.3f}s for {ITERS}x{BATCH} -> {qps:.0f} qps")
+
+        ids_dev, dists_dev = outs[-1]
+        ids_np = np.asarray(ids_dev)[:nq, :COUNT]
+        d_np = np.asarray(dists_dev)[:nq, :COUNT]
+        hits = sum(
+            len(set(int(i) for i, dd in zip(ri, rd) if not np.isnan(dd)) & es)
+            for ri, rd, es in zip(ids_np, d_np, exact_sets)
+        )
+        recall = hits / (nq * COUNT)
+        log(f"recall@{COUNT}: {recall:.4f} (search_k={search_k})")
+        if recall >= TARGET_RECALL:
+            try:
+                with open(sk_sidecar, "w") as f:
+                    f.write(str(search_k))
+            except Exception:
+                pass
+            break
+        if attempt < 2:
+            search_k *= 2
+            log(f"recall below {TARGET_RECALL} target - doubling search_k")
 
     # exact-search throughput for context
     t0 = time.perf_counter()
     r.exact_by_vectors(queries[:nq], COUNT)
     dt_ex = time.perf_counter() - t0
-    log(f"exact search: {nq / dt_ex:.0f} qps")
+    exact_qps = nq / dt_ex
+    log(f"exact search: {exact_qps:.0f} qps")
 
     suffix = "_cpu_fallback" if cpu_fallback else ""
     print(
@@ -165,7 +230,13 @@ def main():
                 "metric": f"ann_qps_{M // 1000}k_{D}d_top{COUNT}_recall{recall:.2f}{suffix}",
                 "value": round(qps, 1),
                 "unit": "qps",
-                "vs_baseline": round(qps / ASSUMED_CPU_ARROY_QPS, 2),
+                "vs_baseline": round(qps / _baseline_qps(), 2),
+                "recall": round(recall, 4),
+                "search_k": search_k,
+                "build_s": round(build_s, 2),
+                "compile_s": round(compile_s, 2),
+                "exact_qps": round(exact_qps, 1),
+                "baseline_cpu_qps": _baseline_qps(),
             }
         ),
         flush=True,
