@@ -82,6 +82,17 @@ def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, key
     srows = rows[slots]  # [G, 12, sd]
     sex = extras[slots]  # [G, 12]
     shn = hnorms[slots]  # [G, 12]
+    return _two_means_core(metric, dims, srows, sex, shn)
+
+
+def _two_means_core(metric, dims, srows, sex, shn):
+    """Two-means refinement given pre-gathered samples [G, 12, ...].
+
+    Sample row 0/1 are the centroid seeds, rows 2..11 the refinement
+    draws (reference: src/distance/mod.rs:126-223).  Shared by the
+    single-chip builder (contiguous-segment sampling) and the sharded
+    builder (hash-based segmented-argmax sampling, parallel/build.py).
+    """
     tv = metric.tm_decode(srows, dims)  # [G, 12, dt] float32 training space
 
     p, q = tv[:, 0], tv[:, 1]

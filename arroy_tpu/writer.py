@@ -52,6 +52,11 @@ class BuildOptions:
     cancel: CancelFn = lambda: False
     progress: ProgressFn = lambda p: None
     seed: int = 42
+    #: jax.sharding.Mesh: grow the forest with the per-level compute
+    #: sharded over the mesh (parallel/build.py) — the multi-chip
+    #: counterpart of the reference's rayon pool (src/writer.rs:568-591).
+    #: Ignored when available_memory streaming is active.
+    mesh: object = None
 
 
 class ArroyBuilder:
@@ -75,6 +80,11 @@ class ArroyBuilder:
 
     def cancel(self, fn: CancelFn) -> "ArroyBuilder":
         self._opt.cancel = fn
+        return self
+
+    def mesh(self, mesh) -> "ArroyBuilder":
+        """Build over a `jax.sharding.Mesh`: one forest, compute sharded."""
+        self._opt.mesh = mesh
         return self
 
     def progress(self, fn: ProgressFn) -> "ArroyBuilder":
@@ -324,8 +334,13 @@ class Writer:
 
         # streaming mode: the item matrix stays on the host and per-batch
         # slot subsets are uploaded on demand (reference fit_in_memory's
-        # HBM analog); resident mode uploads the matrix once
-        streaming = budget_items is not None and budget_items < len(item_ids)
+        # HBM analog); resident mode uploads the matrix once.  Mesh mode
+        # also keeps the host mirror: the sharded grow engine uploads rows
+        # with the mesh sharding itself.
+        mesh_mode = opt.mesh is not None and budget_items is None
+        streaming = (
+            budget_items is not None and budget_items < len(item_ids)
+        ) or mesh_mode
         if streaming:
             rows_dev = extras_dev = hnorms_dev = None
         else:
@@ -428,7 +443,12 @@ class Writer:
             else:
                 seeds.append((nid, st.store.slots_of(items.ids)))
 
-        self._grow_with_budget(ctx, seeds, jax.random.fold_in(key, 0xB111D))
+        if mesh_mode:
+            from .parallel.build import grow_trees_sharded
+
+            grow_trees_sharded(ctx, seeds, jax.random.fold_in(key, 0xB111D), opt.mesh)
+        else:
+            self._grow_with_budget(ctx, seeds, jax.random.fold_in(key, 0xB111D))
 
         # 8. metadata + version (reference: src/writer.rs:609-628)
         opt.progress(WriterProgress(MainStep.WRITE_THE_METADATA))
