@@ -94,7 +94,10 @@ def _kernel(
         mask = pq_dist == m
         nid = jnp.max(jnp.where(mask, pq_node, -1), axis=1, keepdims=True)
         sel = mask & (pq_node == nid)
-        at_i = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=1) == 1)
+        # first selected queue slot (cumsum doesn't lower in Pallas TPU:
+        # a min-reduce over the slot iota is the same "first set lane")
+        first = jnp.min(jnp.where(sel, c_iota, q_cap), axis=1, keepdims=True)
+        at_i = c_iota == first
 
         # popped node fields by one-hot reduce over the node axis
         sel_n = n_iota == jnp.clip(nid, 0, n_nodes - 1)

@@ -136,11 +136,26 @@ class Database:
                     self._device_cache.pop(idx, None)
             self._manifest_stamp = stamp
 
+    def close(self) -> None:
+        """Release the snapshot and device cache (the `heed::Env` close role).
+
+        Any later transaction on this handle raises; reopen by
+        constructing a new `Database` on the same path.
+        """
+        with self._lock:
+            self._committed = {}
+            self._device_cache = {}
+            self._closed = True
+
     # -- transactions --------------------------------------------------
     def write(self) -> "WriteTxn":
+        if getattr(self, "_closed", False):
+            raise ArroyError("database is closed")
         return WriteTxn(self)
 
     def read(self) -> "ReadTxn":
+        if getattr(self, "_closed", False):
+            raise ArroyError("database is closed")
         self._maybe_reload()
         with self._lock:
             return ReadTxn(self, dict(self._committed))
