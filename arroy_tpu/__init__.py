@@ -27,7 +27,7 @@ Quick start::
     print(r.nns(20).by_item(0))
 """
 
-from . import distances
+from . import distances, internals
 from .errors import (
     ArroyError,
     BuildCancelled,
@@ -76,5 +76,6 @@ __all__ = [
     "Writer",
     "WriterProgress",
     "distances",
+    "internals",
     "metric_by_name",
 ]

@@ -126,3 +126,8 @@ class Panic(ArroyError):
 
     def __init__(self, msg: str):
         super().__init__(f"Unexpected panic in: {msg}")
+
+
+class SizeMismatch(ArroyError):
+    """A raw vector payload has the wrong size for its codec
+    (reference: src/unaligned_vector/mod.rs SizeMismatch)."""

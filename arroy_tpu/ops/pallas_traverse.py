@@ -76,16 +76,33 @@ def _kernel(
     marg = marg_ref[:]  # [Q, S]
     nodeT = nodeT_ref[:]  # [8, Np]: kind,left,right,ptr,off,cnt,0,0 rows
 
-    pq_dist0 = jnp.where(c_iota < t, inf, -inf)
-    pq_node0 = jnp.broadcast_to(init_ref[:], (_QBLK, q_cap))
-    zeros1 = jnp.zeros((_QBLK, 1), jnp.int32)
+    # Mosaic layout discipline: every while-loop carry is derived from a
+    # VMEM load (constants/broadcasts get sublane-REPLICATED vector
+    # layouts, the body's outputs don't, and Mosaic cannot relayout
+    # non-replicated -> replicated at the loop back-edge), and the
+    # per-query scalar counters (n_pushed / n_cand / pops) live in lanes
+    # 0/1/2 of one [Q, 128] register tile instead of [Q, 1] carries
+    # (1-lane i32 vectors hit the same invalid-relayout class).
+    pq_node0 = init_ref[:]  # [Q, q_cap], roots then zeros
+    zrow = pq_node0 * 0
+    pq_dist0 = jnp.where((c_iota + zrow) < t, inf, -inf)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (_QBLK, 128), 1)
+    regs0 = zrow[:, :128] + jnp.where(r_iota == 0, t, 0)
+
+    def _reg(regs, j):
+        return jnp.max(jnp.where(r_iota == j, regs, 0), axis=1, keepdims=True)
 
     def cond(st):
-        _, _, _, _, n_cand, pops = st
+        _, _, _, regs = st
+        n_cand = _reg(regs, 1)
+        pops = _reg(regs, 2)
         return jnp.any((n_cand < sk) & (pops < pmax))
 
     def body(st):
-        pq_dist, pq_node, n_pushed, leaf_log, n_cand, pops = st
+        pq_dist, pq_node, leaf_log, regs = st
+        n_pushed = _reg(regs, 0)
+        n_cand = _reg(regs, 1)
+        pops = _reg(regs, 2)
         active = (n_cand < sk) & (pops < pmax)  # [Q, 1]
         m = jnp.max(pq_dist, axis=1, keepdims=True)
         alive = (m > -inf) & active
@@ -137,28 +154,23 @@ def _kernel(
         new_pushed = n_pushed + is_split.astype(jnp.int32)
         new_pops = jnp.where(alive, pops + 1, jnp.int32(pmax))
 
+        new_regs = jnp.where(r_iota == 0, new_pushed, regs)
+        new_regs = jnp.where(r_iota == 1, new_ncand, new_regs)
+        new_regs = jnp.where(r_iota == 2, new_pops, new_regs)
+
         # finished queries freeze (the vmapped while_loop's per-lane gate)
         return (
             jnp.where(active, new_dist, pq_dist),
             jnp.where(active, new_node, pq_node),
-            jnp.where(active, new_pushed, n_pushed),
             jnp.where(active, new_log, leaf_log),
-            jnp.where(active, new_ncand, n_cand),
-            jnp.where(active, new_pops, pops),
+            jnp.where(active, new_regs, regs),
         )
 
-    st = (
-        pq_dist0,
-        pq_node0,
-        jnp.full((_QBLK, 1), t, jnp.int32),
-        jnp.zeros((_QBLK, l_cap), jnp.int32),
-        zeros1,
-        zeros1,
-    )
-    _, _, _, leaf_log, n_cand, pops = jax.lax.while_loop(cond, body, st)
+    st = (pq_dist0, pq_node0, zrow[:, :l_cap], regs0)
+    _, _, leaf_log, regs = jax.lax.while_loop(cond, body, st)
     log_ref[:, :] = leaf_log
-    ncand_ref[:, :] = n_cand
-    pops_ref[:, :] = pops
+    ncand_ref[:, :] = _reg(regs, 1)
+    pops_ref[:, :] = _reg(regs, 2)
 
 
 @functools.partial(
@@ -188,8 +200,10 @@ def _traverse_pallas_jit(
 
     b = qv.shape[0]
     n_nodes = node_table.shape[0]
-    q_cap = t + pmax
-    l_cap = min(search_k, pmax) + 1
+    # lane-align the queue and log widths (Mosaic relayouts on unaligned
+    # i32 vectors are fragile; capacity padding never changes results)
+    q_cap = pl.cdiv(t + pmax, 128) * 128
+    l_cap = pl.cdiv(min(search_k, pmax) + 1, 128) * 128
     cap = search_k + w
 
     margins = metric.margin_matrix(normals, aux, qv, qf).astype(jnp.float32)
@@ -200,6 +214,11 @@ def _traverse_pallas_jit(
             [margins, jnp.zeros((bp - b, s_rows), margins.dtype)], axis=0
         )
     nodeT = node_table.T  # [8, Np] fields x nodes
+    # tile the init queue row to a full [Q, q_cap] block: the kernel derives
+    # every loop carry from this load (see _kernel layout note)
+    init_full = jnp.zeros((_QBLK, q_cap), jnp.int32).at[:, : init_node.shape[1]].set(
+        jnp.broadcast_to(init_node, (_QBLK, init_node.shape[1]))
+    )
 
     kern = functools.partial(_kernel, t, pmax, q_cap, l_cap, n_nodes, s_rows)
     logs, ncand, pops = pl.pallas_call(
@@ -209,7 +228,7 @@ def _traverse_pallas_jit(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, n_nodes), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_QBLK, s_rows), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_QBLK, q_cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((_QBLK, l_cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -226,7 +245,7 @@ def _traverse_pallas_jit(
         jnp.asarray(search_k_dyn, jnp.int32).reshape(1, 1),
         nodeT,
         margins,
-        init_node,
+        init_full,
     )
     cand = jax.vmap(
         lambda log1: _expand_one_log(log1, leaf_off, leaf_cnt, leaf_items, cap)

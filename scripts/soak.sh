@@ -17,6 +17,8 @@ export PALLAS_AXON_POOL_IPS=
 export XLA_FLAGS="--xla_force_host_platform_device_count=1"
 LOG_DIR="${SOAK_LOG_DIR:-/tmp/arroy_soak}"
 mkdir -p "$LOG_DIR"
+# the persistence fuzzer's oracle starts empty — so must its database
+rm -rf "$LOG_DIR/db_persist"
 SEED="${SOAK_SEED:-$RANDOM}"
 echo "soak: ${SECONDS_BUDGET}s per fuzzer, seed base ${SEED}, logs in ${LOG_DIR}"
 
