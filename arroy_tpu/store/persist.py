@@ -30,7 +30,7 @@ from ..metrics import metric_by_name
 from ..models.forest import Forest
 from ..models.items import ItemStore
 from ..utils.itemset import ItemSet
-from ..version import CURRENT_VERSION, Version
+from ..version import CURRENT_VERSION, V1_0_0, Version
 
 FORMAT_NAME = "arroy-tpu"
 
@@ -83,10 +83,14 @@ def _write_state(gen_dir: str, st) -> None:
 
     use_container = os.environ.get("ARROY_TPU_NPY_STORE", "0") != "1"
 
+    # the npy layout IS the v1.0.0 format: stamp the generation
+    # store-accurately so a later open sees an upgradable v1.0.0 index
+    # (ARROY_TPU_NPY_STORE=1 means "write the legacy layout")
+    stamped = st.version if use_container else min(st.version, V1_0_0)
     meta = {
         "dims": st.dims,
         "metric": st.metric.name,
-        "version": str(st.version),
+        "version": str(stamped),
         "generation": st.generation,
         "updated": sorted(int(i) for i in st.updated),
         "roots": [int(r) for r in st.forest.roots],

@@ -25,9 +25,16 @@ class Version:
         return Version(major, minor, patch)
 
 
+#: The first arroy-tpu format: generation directories whose state lives
+#: either in plain ``*.npy`` files or in a ``state.atc`` container.
+V1_0_0 = Version(1, 0, 0)
+
 #: Version written by the current writer.  Independent of the reference's
-#: crate version: this is the first format of the TPU-native container.
-CURRENT_VERSION = Version(1, 0, 0)
+#: crate version.  1.1.0 declares the native container (`state.atc`,
+#: CRC-checked) the only store; v1.0.0 npy generations are migrated by
+#: `upgrade.upgrade_index` (the reference's step chain role,
+#: src/upgrade.rs:26,150,183).
+CURRENT_VERSION = Version(1, 1, 0)
 
 #: Formats older than this never existed for arroy-tpu; kept for the
 #: upgrade-machinery parity with `before_version_db_was_introduced`

@@ -1,15 +1,94 @@
-"""Format versioning + upgrade machinery (reference: src/upgrade.rs)."""
+"""Format versioning + upgrade machinery (reference: src/upgrade.rs).
+
+The committed asset `tests/assets/v1_0_npy` is a database written by the
+v1.0.0 format (npy-layout generations) — the analog of the reference's
+committed `src/tests/assets/v0_6/*.mdb` (src/tests/upgrade.rs:11-96).
+"""
 
 import json
 import os
+import shutil
 
 import pytest
 
 from arroy_tpu import Database, Reader, UnknownVersion, Writer
-from arroy_tpu.upgrade import upgrade_index
-from arroy_tpu.version import CURRENT_VERSION, Version
+from arroy_tpu.upgrade import upgrade_all, upgrade_index
+from arroy_tpu.version import CURRENT_VERSION, V1_0_0, Version
 
 from .util import random_vectors
+
+ASSET = os.path.join(os.path.dirname(__file__), "assets", "v1_0_npy")
+
+
+def _copy_asset(tmp_path):
+    dst = str(tmp_path / "db")
+    shutil.copytree(ASSET, dst)
+    return dst
+
+
+def test_v1_0_asset_reads_before_upgrade(tmp_path):
+    """The loader reads the old format directly (the version-generic
+    read-codec role, reference: src/node.rs:285-341)."""
+    db = Database(_copy_asset(tmp_path))
+    for idx, metric in ((0, "euclidean"), (1, "binary quantized cosine")):
+        r = Reader.open(db.read(), idx, db, metric=metric)
+        assert r.version() == V1_0_0
+        r.assert_validity()
+        got = r.nns(5).by_item(3)
+        # BQ quantization can tie several items at distance 0 with item 3
+        assert got and got[0][1] == pytest.approx(0.0)
+        assert 3 in [i for i, d in got if d == pytest.approx(0.0)]
+
+
+def test_upgrade_v1_0_to_current(tmp_path):
+    """Real exercised migration: 1.0.0 npy -> 1.1.0 container, query
+    parity across the upgrade (reference: src/tests/upgrade.rs:60-96)."""
+    path = _copy_asset(tmp_path)
+    db = Database(path)
+    before = {
+        idx: Reader.open(db.read(), idx, db, metric=m).nns(10).by_item(7)
+        for idx, m in ((0, "euclidean"), (1, "binary quantized cosine"))
+    }
+    touched = upgrade_all(db)
+    assert touched == [0, 1]
+
+    # a fresh process sees container-format generations at 1.1.0
+    db2 = Database(path)
+    for idx, metric in ((0, "euclidean"), (1, "binary quantized cosine")):
+        st = db2.read().state(idx)
+        assert st.version == CURRENT_VERSION
+        gen_dir = os.path.join(
+            path, f"idx_{idx:05d}", f"gen_{st.generation:08d}"
+        )
+        meta = json.load(open(os.path.join(gen_dir, "meta.json")))
+        assert meta["store"] == "container"
+        assert meta["version"] == "1.1.0"
+        assert os.path.exists(os.path.join(gen_dir, "state.atc"))
+        r = Reader.open(db2.read(), idx, db2, metric=metric)
+        r.assert_validity()
+        assert r.nns(10).by_item(7) == before[idx]
+
+    # idempotent
+    assert upgrade_all(db2) == []
+
+
+def test_upgraded_index_keeps_working_incrementally(tmp_path):
+    """Post-upgrade the index accepts incremental updates like any other."""
+    path = _copy_asset(tmp_path)
+    db = Database(path)
+    upgrade_index(db, 0)
+    w = Writer(db, 0, 8)
+    x = random_vectors(4, 8, seed=9)
+    with db.write() as t:
+        for i in range(4):
+            w.add_item(t, 100 + i, x[i])
+        w.del_item(t, 0)
+        w.builder(seed=5).build(t)
+    r = Reader.open(db.read(), 0, db)
+    assert r.version() == CURRENT_VERSION
+    r.assert_validity()
+    assert not r.contains_item(0)
+    assert r.contains_item(103)
 
 
 def test_reader_reports_version(tmp_path):
