@@ -105,5 +105,44 @@ def main():
         )
 
 
+def bisect_loop_vs_expand():
+    """Append-on: time the traversal with search_k_dyn=0 (zero pops ->
+    margins + expansion + dispatch only) vs the full run."""
+    db = Database(DB)
+    st = db.read().state(0)
+    dev = db.device_index(0, st)
+    d = dev.dims
+    rng = np.random.default_rng(7)
+    qv = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    qf = jnp.ones(B, jnp.float32)
+    roots = jnp.asarray(np.asarray(dev.roots, np.int32))
+    for sk_req in SKS:
+        csr = int(dev.leaf_items.shape[0]) - dev.max_leaf
+        ske = min(sk_req, csr)
+        sk = _next_pow2(ske)
+        pmax = pops_budget(dev, ske, False)
+
+        def trav(skd):
+            return _traverse_batch(
+                dev.metric, int(sk), int(pmax), int(dev.max_leaf), False,
+                dev.node_table, dev.normals, dev.aux,
+                dev.leaf_off, dev.leaf_cnt, dev.leaf_items,
+                roots, qv, qf, jnp.zeros(1, jnp.uint32), skd,
+            )
+
+        zero = jnp.int32(0)
+        full = jnp.int32(ske)
+        dt0 = timed(lambda: trav(zero))
+        dt1 = timed(lambda: trav(full))
+        _, pops, _ = trav(full)
+        mp = int(np.asarray(pops).max())
+        print(
+            f"sk={sk_req:6d}: zero-pop {dt0*1e3:8.2f} ms  full {dt1*1e3:8.2f} ms"
+            f"  -> loop {(dt1-dt0)*1e3:8.2f} ms / {mp} pops"
+            f" = {(dt1-dt0)/max(mp,1)*1e6:7.1f} us/pop",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    (bisect_loop_vs_expand if os.environ.get("PROFILE_BISECT") else main)()
