@@ -175,6 +175,20 @@ class Searcher:
     volume exceeds the corpus size (ranking-equivalent; near-zero
     euclidean distances carry matmul noise); ``"exact"`` always uses the
     reference's per-pair formulas.
+
+    ``engine`` selects the whole search strategy:
+
+    - ``"forest"`` — the reference's best-first forest traversal with
+      the `search_k` recall/speed knob (reference: src/reader.rs:317-401).
+    - ``"exact"`` — brute force on the MXU: one [B,d]x[d,M] matmul scores
+      every item, recall 1.0.  On TPU this beats the traversal outright
+      up to a few hundred thousand items (39 GFLOP ~= 1 ms at 100k x
+      768), so it is the recall-1.0 endpoint of the search_k knob, not
+      just an oracle.  ``precision="bf16"`` (default "auto") selects
+      candidates with a half-rate-beating bf16 matmul and re-scores them
+      in f32.
+    - ``"auto"`` — exact while the corpus is small enough that the dot
+      matrix wins (ARROY_EXACT_MAX_ITEMS, default 262144), else forest.
     """
 
     def __init__(
@@ -183,8 +197,17 @@ class Searcher:
         qb: QueryBuilder,
         rescore: str = "auto",
         traversal: str = "auto",
+        engine: str = "forest",
+        precision: str = "auto",
     ):
-        from .search import make_search_fn
+        import os
+
+        from .search import (
+            _EXACT_ENGINE_MAX_ITEMS,
+            exact_engine_supported,
+            make_exact_fn,
+            make_search_fn,
+        )
 
         self._reader = reader
         self._count = qb._count
@@ -199,14 +222,29 @@ class Searcher:
                 if len(inter)
                 else np.empty(0, np.int64)
             )
-        self.device_fn = make_search_fn(
-            dev,
-            qb._count,
-            qb._effective_search_k(),
-            filter_slots,
-            rescore=rescore,
-            traversal=traversal,
-        )
+        if engine == "auto":
+            limit = int(
+                os.environ.get("ARROY_EXACT_MAX_ITEMS", _EXACT_ENGINE_MAX_ITEMS)
+            )
+            engine = (
+                "exact"
+                if exact_engine_supported(dev.metric) and dev.n_items <= limit
+                else "forest"
+            )
+        self.engine = engine
+        if engine == "exact":
+            self.device_fn = make_exact_fn(
+                dev, qb._count, filter_slots, precision=precision
+            )
+        else:
+            self.device_fn = make_search_fn(
+                dev,
+                qb._count,
+                qb._effective_search_k(),
+                filter_slots,
+                rescore=rescore,
+                traversal=traversal,
+            )
         self._dev = dev
 
     def prepare_queries(self, vectors: np.ndarray):
@@ -306,12 +344,19 @@ class Reader:
         candidates=None,
         rescore: str = "auto",
         traversal: str = "auto",
+        engine: str = "forest",
+        precision: str = "auto",
     ) -> "Searcher":
         """A bound, compiled serving handle (the TPU-native hot path).
 
         Unlike `nns(...)`, the returned `Searcher` keeps everything on
         device: `device_fn(qv, qn, qe, qf)` takes and returns device
         arrays so back-to-back calls pipeline without host round trips.
+
+        ``engine="exact"`` serves MXU brute force (recall 1.0; the
+        fastest option up to a few hundred thousand items on TPU);
+        ``"auto"`` picks exact vs forest by corpus size; the default
+        ``"forest"`` is the reference-semantic search_k traversal.
         """
         qb = QueryBuilder(self, count)
         if search_k is not None:
@@ -320,7 +365,10 @@ class Reader:
             qb.oversampling(oversampling)
         if candidates is not None:
             qb.candidates(candidates)
-        return Searcher(self, qb, rescore=rescore, traversal=traversal)
+        return Searcher(
+            self, qb, rescore=rescore, traversal=traversal,
+            engine=engine, precision=precision,
+        )
 
     # -- exact search oracle --------------------------------------------
     def exact_by_vectors(

@@ -657,6 +657,252 @@ def search_batch(
 
 
 # ---------------------------------------------------------------------------
+# exact serving engine — a device-resident brute-force searcher
+# ---------------------------------------------------------------------------
+#
+# On the MXU, scoring every item is one [B,d]x[d,M] matmul: at 100k x 768
+# that is ~39 GFLOP per 256-query batch, i.e. ~1 ms — faster than any
+# traversal, at recall 1.0.  The forest only wins past the scale where
+# the dot matrix stops fitting.  A production deployment should treat
+# exact as the recall-1.0 endpoint of the reference's search_k knob
+# (reference: src/reader.rs:330-335) and serve it whenever it is also the
+# fastest option; `Searcher(engine=...)` exposes exactly that choice.
+
+#: past this corpus size the [B, M] dot matrix / gather traffic makes the
+#: forest the better engine (override: ARROY_EXACT_MAX_ITEMS)
+_EXACT_ENGINE_MAX_ITEMS = 262_144
+
+
+def _exact_f32_impl(
+    metric, dims, k, c, rows, norms, extras, slot_to_id, live, qv, qn, qe, qf
+):
+    """f32 matmul scores + top-c select + exact per-pair re-score.
+
+    The matmul distance forms (x² - 2q·x + q²) carry cancellation noise
+    near ties; re-scoring the top-c candidates with the reference's exact
+    formulas removes it at negligible cost (c << M)."""
+    name = metric.name
+    dots = jax.lax.dot_general(
+        qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [B, M]
+    if name == "euclidean":
+        x2 = jnp.sum(rows * rows, axis=1)
+        score = 2.0 * dots - x2[None, :]  # argmin d == argmax score
+    elif name == "cosine":
+        safe = jnp.where(norms > 0.0, norms, 1.0)
+        score = dots / safe[None, :]
+    else:  # dot-product: query extra coordinate is 0, so score = dot
+        score = dots
+    score = jnp.where(live[None, :], score, -_INF)
+    # approx_max_k is the TPU-native top-c (tiled partial reductions);
+    # lax.top_k at c=32 over [B, M] costs ~4x the whole matmul.  The
+    # recall_target misses are rank >> k and removed by the re-score.
+    neg_sc, cand = jax.lax.approx_max_k(score, c, recall_target=0.99)
+
+    x = rows[cand]
+    xn = norms[cand]
+    xe = extras[cand]
+    d = metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
+    d = jnp.where(live[cand] & (neg_sc > -_INF), d, _INF)
+    neg, top_idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    ids = slot_to_id[jnp.take_along_axis(cand, top_idx, axis=1)]
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    return ids, out_d
+
+
+_exact_f32 = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k", "c")
+)(_exact_f32_impl)
+
+
+def _exact_f32_direct_impl(
+    metric, dims, k, rows, norms, extras, slot_to_id, live, qv, qn, qe, qf
+):
+    """Single-stage f32 matmul + direct top_k — the highest-QPS mode.
+
+    Distances come from the matmul decomposition (x² - 2q·x + q² for
+    euclidean), which carries f32 cancellation noise near ties: measured
+    recall ~0.995 on clustered 768-d data vs the exact formulas."""
+    name = metric.name
+    dots = jax.lax.dot_general(
+        qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if name == "euclidean":
+        x2 = jnp.sum(rows * rows, axis=1)
+        q2 = jnp.sum(qv * qv, axis=1)
+        d = jnp.maximum(x2[None, :] - 2.0 * dots + q2[:, None], 0.0)
+    elif name == "cosine":
+        pnqn = norms[None, :] * qn[:, None]
+        eps = jnp.float32(np.finfo(np.float32).eps)
+        cos = jnp.clip(dots / jnp.where(pnqn > eps, pnqn, 1.0), -1.0, 1.0)
+        d = jnp.where(pnqn > eps, (1.0 - cos) / 2.0, 0.0)
+    else:  # dot-product
+        d = -dots
+    d = jnp.where(live[None, :], d, _INF)
+    neg, idx2 = jax.lax.top_k(-d, k)
+    out_d = -neg
+    ids = slot_to_id[idx2]
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    return ids, out_d
+
+
+_exact_f32_direct = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k")
+)(_exact_f32_direct_impl)
+
+
+def _exact_bf16_impl(
+    metric, dims, k, c, rows, rows_bf16, norms, extras, slot_to_id, live,
+    qv, qn, qe, qf,
+):
+    """Two-stage: bf16 MXU dots select `c` candidates per query
+    (approx_max_k), then f32 re-score of the candidates and final top_k.
+
+    bf16 keeps ~3 significant digits — more than enough to separate the
+    top-k from rank-c — and runs the MXU at twice the f32 rate with half
+    the HBM read traffic."""
+    name = metric.name
+    dots = jax.lax.dot_general(
+        qv.astype(jnp.bfloat16),
+        rows_bf16,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, M] f32 accumulated from bf16 inputs
+    if name == "euclidean":
+        x2 = jnp.sum(rows * rows, axis=1)
+        score = 2.0 * dots - x2[None, :]  # argmin d == argmax score
+    elif name == "cosine":
+        safe = jnp.where(norms > 0.0, norms, 1.0)
+        score = dots / safe[None, :]
+    else:  # dot-product: query extra coordinate is 0, so score = dot
+        score = dots
+    score = jnp.where(live[None, :], score, -_INF)
+    _, cand = jax.lax.approx_max_k(score, c, recall_target=0.98)  # [B, c]
+
+    # stage 2: exact f32 on the candidate set
+    x = rows[cand]  # [B, c, sd]
+    xn = norms[cand]
+    xe = extras[cand]
+    d = metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
+    d = jnp.where(live[cand], d, _INF)
+    neg, top_idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    ids = slot_to_id[jnp.take_along_axis(cand, top_idx, axis=1)]
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    return ids, out_d
+
+
+_exact_bf16 = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k", "c")
+)(_exact_bf16_impl)
+
+
+def exact_engine_supported(metric) -> bool:
+    return metric.binary or metric.name in (
+        "euclidean",
+        "cosine",
+        "dot-product",
+        "manhattan",
+    )
+
+
+def make_exact_fn(
+    idx: DeviceIndex,
+    count: int,
+    filter_slots: np.ndarray | None = None,
+    precision: str = "auto",
+):
+    """Device-resident exact searcher: ``fn(qv, qn, qe, qf) -> (ids, d)``.
+
+    Same contract as `make_search_fn` (device in, device out, pipelines
+    back-to-back).  ``precision``: "f32" single-stage, "bf16" two-stage
+    (bf16 candidate select + f32 re-score), "auto" = bf16 for f32
+    euclidean/cosine/dot-product, else the exact per-metric matrix path.
+    Filters mask distance columns — exact filtered search at any
+    selectivity (the roaring-∩ role, reference src/reader.rs:354-360).
+    """
+    k = max(min(count, max(idx.n_items, 1)), 1)
+    metric = idx.metric
+
+    if idx.n_items == 0:
+        def empty_fn(qv, qn, qe, qf):
+            b = qv.shape[0]
+            return (
+                jnp.zeros((b, max(count, 1)), jnp.uint32),
+                jnp.full((b, max(count, 1)), jnp.nan, jnp.float32),
+            )
+
+        return empty_fn
+
+    live = idx.live
+    if filter_slots is not None:
+        mask = np.zeros(idx.cap, bool)
+        mask[np.asarray(filter_slots, np.int64)] = True
+        live = jnp.logical_and(live, jnp.asarray(mask))
+
+    if metric.binary:
+        import jax as _jax
+
+        interp = _jax.default_backend() == "cpu"
+
+        def bq_fn(qv, qn, qe, qf):
+            return _exact_bq_matrix(
+                metric.name, idx.dims, int(k), idx.rows, idx.norms,
+                idx.slot_to_id, live, qv, qn, interp,
+            )
+
+        return bq_fn
+
+    if metric.name == "manhattan":
+        def man_fn(qv, qn, qe, qf):
+            return _exact_batch(
+                metric, idx.dims, int(k), idx.rows, idx.norms, idx.extras,
+                idx.slot_to_id, live, qv, qn, qe,
+            )
+
+        return man_fn
+
+    if precision == "auto":
+        precision = "bf16"
+    if precision == "f32x1":
+        def f32x1_fn(qv, qn, qe, qf):
+            return _exact_f32_direct(
+                metric, idx.dims, int(k), idx.rows, idx.norms, idx.extras,
+                idx.slot_to_id, live, qv, qn, qe, qf,
+            )
+
+        return f32x1_fn
+    if precision == "bf16":
+        rows_bf16 = idx.rows.astype(jnp.bfloat16)  # cast once at bind time
+        c = max(min(_next_pow2(8 * k), idx.cap), 64)
+
+        def bf16_fn(qv, qn, qe, qf):
+            return _exact_bf16(
+                metric, idx.dims, int(k), int(c), idx.rows, rows_bf16,
+                idx.norms, idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,
+            )
+
+        return bf16_fn
+
+    c32 = max(min(_next_pow2(8 * k), idx.cap), 128)
+
+    def f32_fn(qv, qn, qe, qf):
+        return _exact_f32(
+            metric, idx.dims, int(k), int(c32), idx.rows, idx.norms,
+            idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,
+        )
+
+    return f32_fn
+
+
+# ---------------------------------------------------------------------------
 # exact (brute force) search — the recall oracle, and the TPU-native
 # "just use the MXU" fast path for small corpora
 # ---------------------------------------------------------------------------

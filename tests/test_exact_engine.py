@@ -1,0 +1,91 @@
+"""The exact serving engine (`Searcher(engine="exact")`).
+
+On the MXU brute force beats the traversal outright for small/medium
+corpora, so it is a first-class engine, not just the recall oracle.
+Checks: parity with the oracle for every metric family, filter masking,
+bf16 two-stage recall, and the auto engine rule.
+"""
+
+import numpy as np
+import pytest
+
+from arroy_tpu import Database, Reader, Writer
+from arroy_tpu.utils.itemset import ItemSet
+
+METRICS = [
+    "euclidean",
+    "cosine",
+    "dot-product",
+    "manhattan",
+    "binary quantized euclidean",
+]
+
+
+def _build(metric, m=300, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((m, d)).astype(np.float32)
+    db = Database()
+    w = Writer(db, 0, d, metric=metric)
+    with db.write() as t:
+        w.add_items(t, np.arange(m, dtype=np.uint32), x)
+        w.builder(seed=1).n_trees(4).build(t)
+    r = Reader.open(db.read(), 0, db, metric=metric)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    return r, q
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_exact_engine_matches_oracle(metric):
+    r, q = _build(metric)
+    oracle = r.exact_by_vectors(q, 10)
+    s = r.searcher(10, engine="exact", precision="f32")
+    got = s(q)
+    for o, g in zip(oracle, got):
+        # same ids at the same ranks modulo distance ties
+        od = {i: d for i, d in o}
+        assert len(g) == len(o)
+        for (gi, gd), (oi, odist) in zip(g, o):
+            assert gd == pytest.approx(odist, rel=1e-4, abs=1e-4)
+            assert gi in od or gd == pytest.approx(odist, rel=1e-4, abs=1e-4)
+
+
+def test_exact_engine_bf16_recall():
+    r, q = _build("euclidean", m=2000, d=64, seed=3)
+    oracle = r.exact_by_vectors(q, 10)
+    s = r.searcher(10, engine="exact", precision="bf16")
+    got = s(q)
+    hits = sum(
+        len({i for i, _ in g} & {i for i, _ in o}) for g, o in zip(got, oracle)
+    )
+    assert hits / (len(q) * 10) >= 0.95
+
+
+def test_exact_engine_filtered():
+    r, q = _build("euclidean", m=500, d=16, seed=5)
+    allowed = ItemSet(np.arange(0, 500, 7, dtype=np.uint32))
+    s = r.searcher(10, engine="exact", candidates=allowed, precision="f32")
+    got = s(q)
+    allow = set(range(0, 500, 7))
+    for row in got:
+        assert row and all(i in allow for i, _ in row)
+    # parity with the filtered reference path
+    ref = r.nns(10).search_k(10**6).candidates(allowed).by_vector(q[0])
+    assert [i for i, _ in got[0]] == [i for i, _ in ref]
+
+
+def test_auto_engine_picks_exact_small_and_forest_large(monkeypatch):
+    r, q = _build("euclidean", m=200, d=8, seed=7)
+    s = r.searcher(5, engine="auto")
+    assert s.engine == "exact"
+    monkeypatch.setenv("ARROY_EXACT_MAX_ITEMS", "100")
+    s2 = r.searcher(5, engine="auto")
+    assert s2.engine == "forest"
+
+
+def test_exact_engine_empty_filter_and_dot():
+    r, q = _build("dot-product", m=128, d=8, seed=11)
+    oracle = r.exact_by_vectors(q, 5)
+    s = r.searcher(5, engine="exact", precision="f32")
+    got = s(q)
+    for o, g in zip(oracle, got):
+        assert [i for i, _ in g] == [i for i, _ in o]
