@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .metrics import Metric
-from .models.forest import KIND_FREE, KIND_LEAF, Forest
+from .models.forest import KIND_FREE, KIND_LEAF, KIND_SPLIT, KIND_SPLIT_NONE, Forest
 from .models.items import ItemStore
 
 
@@ -56,6 +56,22 @@ class DeviceIndex:
     n_items: int
     max_leaf: int
     cap: int
+    #: ascending-sorted leaf sizes, cumulative (host) — bounds the number
+    #: of leaf pops any query can need to reach a candidate budget
+    leaf_cum_np: np.ndarray = None
+    #: number of split nodes — bounds queue pushes (each split node enters
+    #: the priority queue at most once: one parent, popped once)
+    n_splits: int = 0
+    #: table rows poppable without yielding candidates (empty leaves, FREE)
+    n_dead_pops: int = 0
+
+    def max_leaf_pops(self, search_k: int) -> int:
+        """Worst-case non-empty leaf pops before `search_k` candidate
+        slots are filled: take the smallest leaves first."""
+        if self.leaf_cum_np is None or len(self.leaf_cum_np) == 0:
+            return max(search_k, 1)
+        m = int(np.searchsorted(self.leaf_cum_np, search_k, side="left")) + 1
+        return min(m, len(self.leaf_cum_np))
 
     def nbytes(self) -> int:
         """HBM footprint of this index's device arrays (the budget a
@@ -156,7 +172,17 @@ class DeviceIndex:
         node_table[:, 4] = np.where(is_leaf_node, offs_arr[li], 0)
         node_table[:, 5] = np.where(is_leaf_node, cnts_arr[li], 0)
 
+        nonzero_cnts = cnts_arr[cnts_arr > 0]
+        leaf_cum = np.cumsum(np.sort(nonzero_cnts)).astype(np.int64)
+        n_splits = int(np.count_nonzero((kind == KIND_SPLIT) | (kind == KIND_SPLIT_NONE)))
+        # rows a traversal could pop without yielding candidates: empty
+        # leaves, FREE rows (defensively drained as no-ops)
+        n_dead_pops = int(n_table - n_splits - len(nonzero_cnts))
+
         return dict(
+            leaf_cum_np=leaf_cum,
+            n_splits=n_splits,
+            n_dead_pops=n_dead_pops,
             rows=rows,
             norms=norms,
             extras=extras,
@@ -207,4 +233,7 @@ class DeviceIndex:
             n_items=pk["n_items"],
             max_leaf=pk["max_leaf"],
             cap=pk["cap"],
+            leaf_cum_np=pk["leaf_cum_np"],
+            n_splits=pk["n_splits"],
+            n_dead_pops=pk["n_dead_pops"],
         )

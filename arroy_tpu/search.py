@@ -67,7 +67,15 @@ def pops_budget(
     if exhaustive or search_k >= idx.n_items:
         return idx.n_nodes + t
     sel = min(max(float(selectivity), 1e-9), 1.0)
-    return min(idx.n_nodes + t, 2 * t + int(np.ceil(2.0 * search_k / sel)) + 64)
+    budget = min(idx.n_nodes + t, 2 * t + int(np.ceil(2.0 * search_k / sel)) + 64)
+    if sel >= 1.0 and idx.leaf_cum_np is not None:
+        # unfiltered tight bound from the structure itself: every split
+        # node is poppable at most once (one parent each), non-empty leaf
+        # pops are bounded by the smallest-leaves-first worst case, and
+        # empty/FREE rows each drain at most once
+        tight = idx.n_splits + idx.max_leaf_pops(search_k) + idx.n_dead_pops + t + 8
+        budget = min(budget, tight)
+    return budget
 
 
 # ---------------------------------------------------------------------------
@@ -85,12 +93,32 @@ def _expand_one_log(log1, leaf_off, leaf_cnt, leaf_items, cap):
     l_iota = jnp.arange(l_cap, dtype=jnp.int32)
     n_leaf = log1[l_cap - 1]  # running count kept in the tail slot
     live_l = l_iota < n_leaf  # entries >= n_leaf are stale
-    counts = jnp.where(live_l, leaf_cnt[log1], 0)
+    counts = jnp.where(live_l, leaf_cnt[log1], 0)  # [l_cap] gather (tiny)
+    offs_l = leaf_off[log1]  # [l_cap] gather (tiny)
     ends = jnp.cumsum(counts)
-    sel = jnp.searchsorted(ends, cap_iota, side="right").astype(jnp.int32)
-    sel_c = jnp.minimum(sel, l_cap - 1)
-    start = ends[sel_c] - counts[sel_c]
-    src = leaf_off[log1[sel_c]] + (cap_iota - start)
+    starts = ends - counts
+    if l_cap <= 512:
+        # dense compare-reduce over the (tight) log axis instead of
+        # per-slot gathers: searchsorted's binary search plus three
+        # [cap]-wide gathers from small tables were the whole query
+        # path's dominant cost (hundreds of ms per batch at search_k=8k);
+        # the [cap, l_cap] compare/select matrices are pure VPU
+        le = ends[None, :] <= cap_iota[:, None]  # [cap, l_cap]
+        sel = jnp.sum(le.astype(jnp.int32), axis=1)
+        sel_c = jnp.minimum(sel, l_cap - 1)
+        eq = sel_c[:, None] == l_iota[None, :]
+
+        def pick(tbl):
+            return jnp.sum(jnp.where(eq, tbl[None, :], 0), axis=1)
+
+        start = pick(starts)
+        off = pick(offs_l)
+    else:
+        sel = jnp.searchsorted(ends, cap_iota, side="right").astype(jnp.int32)
+        sel_c = jnp.minimum(sel, l_cap - 1)
+        start = starts[sel_c]
+        off = offs_l[sel_c]
+    src = off + (cap_iota - start)
     total = jnp.minimum(ends[l_cap - 1], cap)
     vals = leaf_items[jnp.minimum(src, leaf_items.shape[0] - 1)]
     return jnp.where(cap_iota < total, vals, -1)
@@ -113,11 +141,19 @@ def _traverse_impl(
     qf,
     filter_words,
     search_k_dyn,
+    q_cap=None,
+    l_cap=None,
 ):
-    """Collect up to `search_k` candidate slots per query (-1 padded)."""
+    """Collect up to `search_k` candidate slots per query (-1 padded).
+
+    ``q_cap``/``l_cap`` are optional tighter capacities computed by the
+    caller from the index structure (split count / leaf-size
+    distribution).  Capacity never changes results, only array widths —
+    the defaults are the always-safe worst case."""
     t = roots.shape[0]
     s_rows = normals.shape[0]
-    q_cap = t + pmax
+    if q_cap is None:
+        q_cap = t + pmax
     cap = search_k + w  # slot `cap` is the trash lane for masked writes
 
     q_iota = jnp.arange(q_cap, dtype=jnp.int32)
@@ -125,7 +161,8 @@ def _traverse_impl(
     cap_iota = jnp.arange(cap, dtype=jnp.int32)
     # each non-empty leaf pop contributes >= 1 candidate, so at most
     # min(search_k, pmax) leaf pops are ever logged
-    l_cap = min(search_k, pmax) + 1
+    if l_cap is None:
+        l_cap = min(search_k, pmax) + 1
     l_iota = jnp.arange(l_cap, dtype=jnp.int32)
 
     # every query-vs-split margin up front: one MXU matmul, so the pop
@@ -271,7 +308,7 @@ def _traverse_impl(
 
 _traverse_batch = functools.partial(
     jax.jit,
-    static_argnames=("metric", "search_k", "pmax", "w", "has_filter"),
+    static_argnames=("metric", "search_k", "pmax", "w", "has_filter", "q_cap", "l_cap"),
 )(_traverse_impl)
 
 
@@ -353,38 +390,35 @@ def _rescore_matmul_impl(
     only — callers fall back to `_rescore_impl` otherwise.
     """
     b, cap = cand.shape
+    m = rows.shape[0]
     valid0 = cand >= 0
-    ids = slot_to_id[jnp.maximum(cand, 0)]
-    order = jnp.lexsort((ids, ~valid0))
-    ids_s = jnp.take_along_axis(ids, order, axis=1)
-    valid_s = jnp.take_along_axis(valid0, order, axis=1)
-    slots_s = jnp.take_along_axis(cand, order, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((b, 1), bool), (ids_s[:, 1:] == ids_s[:, :-1]) & valid_s[:, :-1]],
-        axis=1,
-    )
-    invalid = ~valid_s | dup
-    slots_c = jnp.maximum(slots_s, 0)
+    slots_c = jnp.maximum(cand, 0)
+    # dedup for free: scatter the candidate slots into a [B, M] mask and
+    # select on the full distance matrix — each item owns one column, so
+    # duplicates collapse without the sort+adjacent-compare the gather
+    # re-score needs (an XLA sort of [B, cap] keys was ~2/3 of the whole
+    # re-score at search_k=8k)
+    mask = jnp.zeros((b, m), jnp.bool_)
+    mask = mask.at[jnp.arange(b, dtype=jnp.int32)[:, None], slots_c].max(valid0)
 
-    dots_full = jax.lax.dot_general(
+    dots = jax.lax.dot_general(
         qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [B, M]
-    dots = jnp.take_along_axis(dots_full, slots_c, axis=1)  # [B, cap]
     if metric.name == "euclidean":
         x2 = jnp.sum(rows * rows, axis=1)
         q2 = jnp.sum(qv * qv, axis=1)
-        d = jnp.maximum(x2[slots_c] - 2.0 * dots + q2[:, None], 0.0)
+        d = jnp.maximum(x2[None, :] - 2.0 * dots + q2[:, None], 0.0)
     elif metric.name == "cosine":
-        pnqn = norms[slots_c] * qn[:, None]
+        pnqn = norms[None, :] * qn[:, None]
         eps = jnp.float32(np.finfo(np.float32).eps)
         cos = jnp.clip(dots / jnp.where(pnqn > eps, pnqn, 1.0), -1.0, 1.0)
         d = jnp.where(pnqn > eps, (1.0 - cos) / 2.0, 0.0)
     else:  # dot-product
         d = -dots
-    d = jnp.where(invalid, _INF, d)
+    d = jnp.where(mask, d, _INF)
     neg, top_idx = jax.lax.top_k(-d, k)
     out_d = -neg
-    out_ids = jnp.take_along_axis(ids_s, top_idx, axis=1)
+    out_ids = slot_to_id[top_idx]
     if not normalize:
         return out_ids, out_d
     out_d = jnp.where(
@@ -474,6 +508,19 @@ def make_search_fn(
     csr_total = max(int(idx.leaf_items.shape[0]) - idx.max_leaf, 1)
     sk_exact = min(max(search_k, count), csr_total)
 
+    if (
+        has_filter
+        and exact_engine_supported(idx.metric)
+        and idx.n_items <= _EXACT_ENGINE_MAX_ITEMS
+    ):
+        # Filters on small/medium corpora: serve exact over the masked
+        # distance matrix.  The traversal's filtered loop pays a window
+        # compaction per pop and needs a 1/selectivity pop budget — on
+        # TPU the masked matmul is 2-3 orders of magnitude faster at 10%
+        # selectivity and recall 1.0 at every selectivity (the roaring-∩
+        # role, reference: src/reader.rs:354-360).
+        return make_exact_fn(idx, count, filter_slots)
+
     if has_filter and len(filter_slots) <= sk_exact:
         # The filter pool fits inside the candidate budget: the reference's
         # traversal would (best case) collect exactly these items before
@@ -522,6 +569,12 @@ def make_search_fn(
     sk = _next_pow2(sk_exact)
     k = max(min(_next_pow2(count), sk + idx.max_leaf), 1)
     pmax = pops_budget(idx, sk_exact, False, selectivity)
+    t = max(len(idx.roots), 1)
+    # tight widths from the index structure (capacity only, results
+    # unchanged): pushes happen once per split pop; non-empty leaf logs
+    # are bounded by the smallest-leaves-first worst case
+    q_cap = t + min(pmax, idx.n_splits) + 1
+    l_cap = min(min(sk, pmax), idx.max_leaf_pops(sk)) + 1
     roots = jnp.asarray(np.asarray(idx.roots, np.int32))
     sk_dyn = jnp.int32(sk_exact)
     trav = traversal_mode(idx, has_filter, pmax, int(sk), traversal)
@@ -570,6 +623,8 @@ def make_search_fn(
                 qf,
                 filter_words,
                 sk_dyn,
+                q_cap=int(q_cap),
+                l_cap=int(l_cap),
             )
         mode = rescore_mode(
             idx.metric, int(qv.shape[0]), int(cand.shape[1]), idx.n_items, rescore

@@ -55,20 +55,40 @@ def main():
     x = make_corpus(rng, m + batch, d)
     x, queries = x[:m], x[m:]
 
-    db = Database()
-    w = Writer(db, 0, d, metric="euclidean")
-    t0 = time.perf_counter()
-    with db.write() as wtxn:
-        w.add_items(wtxn, np.arange(m, dtype=np.uint32), x)
-        w.builder(seed=42).n_trees(n_trees).build(wtxn)
-    log(f"build: {time.perf_counter() - t0:.1f}s  (m={m}, d={d}, trees={n_trees})")
+    # reuse the bench's persisted index when the config matches (same
+    # corpus: seed 42 + make_corpus)
+    db_path = os.environ.get(
+        "BENCH_DB", f"/tmp/arroy_bench_{m}x{d}_t{n_trees}_clustered"
+    )
+    db = Database(db_path)
+    st = db.read().state(0)
+    have = (
+        st is not None
+        and st.metadata is not None
+        and st.metadata.dimensions == d
+        and len(st.metadata.items) == m
+        and len(st.metadata.roots) == n_trees
+        and not st.updated
+    )
+    if have:
+        log(f"reusing persisted index at {db_path}")
+    else:
+        w = Writer(db, 0, d, metric="euclidean")
+        t0 = time.perf_counter()
+        with db.write() as wtxn:
+            wtxn.drop_index(0)
+            w.add_items(wtxn, np.arange(m, dtype=np.uint32), x)
+            w.builder(seed=42).n_trees(n_trees).build(wtxn)
+        log(f"build: {time.perf_counter() - t0:.1f}s  (m={m}, d={d}, trees={n_trees})")
     r = Reader.open(db.read(), 0, db)
 
     exact_all = r.exact_by_vectors(queries[: min(batch, 64)], m if m <= 200_000 else 1)
     nq = min(batch, 64)
 
-    def run(name, cand_ids):
-        s = r.searcher(count, search_k=search_k, candidates=cand_ids)
+    def run(name, cand_ids, engine="forest"):
+        s = r.searcher(
+            count, search_k=search_k, candidates=cand_ids, engine=engine
+        )
         dq = s.prepare_queries(queries)
         t0 = time.perf_counter()
         jax.block_until_ready(s.device_fn(*dq))
@@ -102,10 +122,13 @@ def main():
     for frac in (0.5, 0.1, 0.01):
         cand = np.sort(rng.choice(m, size=max(int(m * frac), 1), replace=False))
         qps, rec = run(f"{frac:.0%} filter", cand.astype(np.uint32))
+        qpe, rece = run(f"{frac:.0%} exact", cand.astype(np.uint32), engine="exact")
         results[f"{frac:.0%}"] = {
             "qps": qps,
             "recall": rec,
             "vs_unfiltered": qps / qps0,
+            "exact_qps": qpe,
+            "exact_recall": rece,
         }
 
     import json

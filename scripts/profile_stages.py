@@ -74,12 +74,16 @@ def main():
         pmax = pops_budget(dev, ske, False)
         sk_dyn = jnp.int32(ske)
 
+        q_cap = t + min(pmax, dev.n_splits) + 1
+        l_cap = min(min(sk, pmax), dev.max_leaf_pops(sk)) + 1
+
         def trav():
             return _traverse_batch(
                 dev.metric, int(sk), int(pmax), int(dev.max_leaf), False,
                 dev.node_table, dev.normals, dev.aux,
                 dev.leaf_off, dev.leaf_cnt, dev.leaf_items,
                 roots, qv, qf, jnp.zeros(1, jnp.uint32), sk_dyn,
+                q_cap=int(q_cap), l_cap=int(l_cap),
             )
 
         dt_t = timed(trav)
@@ -122,12 +126,16 @@ def bisect_loop_vs_expand():
         sk = _next_pow2(ske)
         pmax = pops_budget(dev, ske, False)
 
+        q_cap = len(dev.roots) + min(pmax, dev.n_splits) + 1
+        l_cap = min(min(sk, pmax), dev.max_leaf_pops(sk)) + 1
+
         def trav(skd):
             return _traverse_batch(
                 dev.metric, int(sk), int(pmax), int(dev.max_leaf), False,
                 dev.node_table, dev.normals, dev.aux,
                 dev.leaf_off, dev.leaf_cnt, dev.leaf_items,
                 roots, qv, qf, jnp.zeros(1, jnp.uint32), skd,
+                q_cap=int(q_cap), l_cap=int(l_cap),
             )
 
         zero = jnp.int32(0)
