@@ -59,6 +59,10 @@ class ShardedForestIndex:
         )
         t = max(len(p["roots"]) for p in packs)
         self.n_trees = t
+        # tight traversal bounds across shards (see search.pops_budget)
+        self.n_splits_max = max(int(p.get("n_splits", 0)) for p in packs)
+        self.n_dead_max = max(int(p.get("n_dead_pops", 0)) for p in packs)
+        self._leaf_cums = [p.get("leaf_cum_np") for p in packs]
 
         def stack(key, fill):
             n_rows = max(p[key].shape[0] for p in packs)
@@ -96,6 +100,17 @@ class ShardedForestIndex:
         self.norms = put(stack("norms", 0.0), (AXIS, None))
         self.extras = put(stack("extras", 0.0), (AXIS, None))
         self.slot_to_id = put(stack("slot_to_id", 0xFFFFFFFF), (AXIS, None))
+
+    def _max_leaf_pops(self, search_k: int) -> int:
+        """Worst case over shards of non-empty leaf pops to fill search_k
+        (smallest-leaves-first bound per shard)."""
+        worst = 1
+        for cum in self._leaf_cums:
+            if cum is None or len(cum) == 0:
+                return max(search_k, 1)
+            m = int(np.searchsorted(cum, search_k, side="left")) + 1
+            worst = max(worst, min(m, len(cum)))
+        return worst
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -181,7 +196,11 @@ class ShardedForestIndex:
         pmax = min(self.n_nodes + t, 2 * t + 2 * sk_local + 64)
         if sk_local >= self.n_items_shard_max:
             pmax = self.n_nodes + t
+        else:
+            pmax = min(pmax, self.n_splits_max + self._max_leaf_pops(sk) + self.n_dead_max + t + 8)
         k = max(min(_next_pow2(count), sk + self.max_leaf), 1)
+        q_cap = t + min(pmax, self.n_splits_max) + 1
+        l_cap = min(min(sk, pmax), self._max_leaf_pops(sk)) + 1
 
         qv = metric.encode_np(queries.astype(np.float32))
         qn = metric.item_norms_np(qv, dims)
@@ -202,6 +221,8 @@ class ShardedForestIndex:
             int(self.max_leaf),
             int(k),
             int(count),
+            int(q_cap),
+            int(l_cap),
             self.node_table,
             self.normals,
             self.aux,
@@ -232,7 +253,10 @@ class ShardedForestIndex:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "metric", "dims", "sk", "pmax", "w", "k", "count"),
+    static_argnames=(
+        "mesh", "metric", "dims", "sk", "pmax", "w", "k", "count",
+        "q_cap", "l_cap",
+    ),
 )
 def _sharded_forest_search(
     mesh,
@@ -243,6 +267,8 @@ def _sharded_forest_search(
     w,
     k,
     count,
+    q_cap,
+    l_cap,
     node_table,
     normals,
     aux,
@@ -304,6 +330,8 @@ def _sharded_forest_search(
             qf_r,
             jnp.zeros(1, jnp.uint32),
             sk_dyn,
+            q_cap=q_cap,
+            l_cap=l_cap,
         )
         loc_ids, loc_d = _rescore_impl(
             metric, dims, k, rw, nm, ex, s2i, cand, qv_r, qn_r, qe_r, normalize=False

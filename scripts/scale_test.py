@@ -7,8 +7,11 @@ Prints build time, device HBM footprint, query QPS at a few operating
 points, and sampled recall@10 vs the MXU exact oracle.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 
@@ -54,6 +57,26 @@ print(f"actual device footprint: {dev.nbytes() / (1 << 30):.2f} GiB", flush=True
 
 q = rng.standard_normal((256, D)).astype(np.float32)
 exact = r.exact_by_vectors(q[:64], 10, fast=True)
+
+# exact engine at scale (one [B,d]x[d,M] matmul per batch)
+for prec in ("f32x1", "bf16"):
+    s = r.searcher(10, engine="exact", precision=prec)
+    dq = s.prepare_queries(q)
+    jax.block_until_ready(s.device_fn(*dq))
+    t0 = time.perf_counter()
+    outs = [s.device_fn(*dq) for _ in range(10)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / 10
+    ids = np.asarray(outs[-1][0])[:64, :10]
+    hits = sum(
+        len(set(map(int, ri)) & {i for i, _ in e}) for ri, e in zip(ids, exact)
+    )
+    rec = hits / (64 * 10)
+    print(
+        f"exact[{prec}]: {dt * 1e3:7.2f} ms/256 -> {256 / dt:8.0f} qps  "
+        f"recall@10={rec:.3f}",
+        flush=True,
+    )
 
 for sk in (1000, 5000, 20000):
     s = r.searcher(10, search_k=sk)
