@@ -14,5 +14,7 @@ compare_with_hnsw      ``python -m arroy_tpu.cli.compare_exact``
 fuzz                   ``python -m arroy_tpu.cli.fuzz``
 sample_vectors         ``python -m arroy_tpu.cli.sample_vectors``
 (ext. benchmark repo)  ``python -m arroy_tpu.cli.recall_sweep``
+(src/upgrade.rs)       ``python -m arroy_tpu.cli.upgrade``
+(extra: db fsck)       ``python -m arroy_tpu.cli.check``
 =====================  ===========================================
 """

@@ -773,6 +773,86 @@ _exact_f32 = functools.partial(
 )(_exact_f32_impl)
 
 
+def _exact_scan_impl(
+    metric, dims, k, chunk, rows, norms, extras, slot_to_id, live,
+    rows_mm, aux_p, live_p, qv, qn, qe, qf,
+):
+    """Streaming exact search: scan item chunks, carry a running top-k.
+
+    Bounds device memory to [B, chunk] regardless of corpus size, so the
+    exact engine serves any HBM-resident corpus (the [B, M] dot matrix
+    at B=1024 x M=4M would be 16 GB).  ``rows_mm`` is the streaming
+    matmul operand padded to a chunk multiple (optionally bf16 — its
+    dtype decides the MXU rate); ``aux_p``/``live_p`` are the padded
+    per-item score term (x² for euclidean, norm for cosine) and live
+    mask.  The carried winners get one exact f32 re-score at the end
+    against the unpadded arrays."""
+    name = metric.name
+    b = qv.shape[0]
+    m = rows_mm.shape[0]
+    n_chunks = m // chunk
+    qmm = qv.astype(rows_mm.dtype)
+
+    def body(carry, i):
+        best_s, best_i = carry  # [B, k2] running best scores/slots
+        base = i * chunk
+        rc = jax.lax.dynamic_slice(rows_mm, (base, 0), (chunk, rows_mm.shape[1]))
+        dots = jax.lax.dot_general(
+            qmm, rc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [B, chunk]
+        xc = jax.lax.dynamic_slice(aux_p, (base,), (chunk,))
+        if name == "euclidean":
+            score = 2.0 * dots - xc[None, :]
+        elif name == "cosine":
+            safe = jnp.where(xc > 0.0, xc, 1.0)
+            score = dots / safe[None, :]
+        else:
+            score = dots
+        lc = jax.lax.dynamic_slice(live_p, (base,), (chunk,))
+        score = jnp.where(lc[None, :], score, -_INF)
+        _, idx_c = jax.lax.approx_max_k(score, best_s.shape[1], recall_target=0.99)
+        sc = jnp.take_along_axis(score, idx_c, axis=1)
+        cat_s = jnp.concatenate([best_s, sc], axis=1)
+        cat_i = jnp.concatenate([best_i, idx_c + base], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, best_s.shape[1])
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    k2 = max(min(_next_pow2(8 * k), chunk), 128)
+    best0 = (
+        jnp.full((b, k2), -_INF, jnp.float32),
+        jnp.zeros((b, k2), jnp.int32),
+    )
+    (best_s, cand), _ = jax.lax.scan(
+        body, best0, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    # padded-region winners carry score -inf (live_p False) and are
+    # masked below; clamp only to keep the gathers in bounds
+    cand = jnp.minimum(cand, rows.shape[0] - 1)
+
+    x = rows[cand]
+    xn = norms[cand]
+    xe = extras[cand]
+    d = metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
+    d = jnp.where(live[cand] & (best_s > -_INF), d, _INF)
+    neg, top_idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    ids = slot_to_id[jnp.take_along_axis(cand, top_idx, axis=1)]
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    return ids, out_d
+
+
+_exact_scan = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k", "chunk")
+)(_exact_scan_impl)
+
+#: stream item chunks once the full [B, M] dot matrix would exceed this
+_EXACT_DOTS_BYTES = 1 << 30
+_EXACT_SCAN_CHUNK = 65_536
+
+
 def _exact_f32_direct_impl(
     metric, dims, k, rows, norms, extras, slot_to_id, live, qv, qn, qe, qf
 ):
@@ -926,8 +1006,49 @@ def make_exact_fn(
 
     if precision == "auto":
         precision = "bf16"
+
+    scan_state: dict = {}
+
+    def _scan_operands(dtype):
+        """Padded streaming operands for `_exact_scan`, built lazily on
+        the first batch large enough to need chunking (the padded copy
+        of the row matrix costs memory; bf16 halves it)."""
+        key = str(dtype)
+        if key not in scan_state:
+            mpad = -(-idx.cap // _EXACT_SCAN_CHUNK) * _EXACT_SCAN_CHUNK
+            pad = mpad - idx.cap
+            rows_mm = idx.rows.astype(dtype)
+            if metric.name == "euclidean":
+                aux = jnp.sum(idx.rows * idx.rows, axis=1)
+            elif metric.name == "cosine":
+                aux = idx.norms
+            else:
+                aux = jnp.zeros(idx.cap, jnp.float32)
+            live_p = live
+            if pad:
+                rows_mm = jnp.concatenate(
+                    [rows_mm, jnp.zeros((pad, idx.rows.shape[1]), dtype)]
+                )
+                aux = jnp.concatenate([aux, jnp.zeros(pad, jnp.float32)])
+                live_p = jnp.concatenate([live, jnp.zeros(pad, bool)])
+            scan_state[key] = (rows_mm, aux, live_p)
+        return scan_state[key]
+
+    def _maybe_scan(qv, qn, qe, qf, dtype):
+        if int(qv.shape[0]) * idx.cap * 4 <= _EXACT_DOTS_BYTES:
+            return None
+        rows_mm, aux_p, live_p = _scan_operands(dtype)
+        return _exact_scan(
+            metric, idx.dims, int(k), _EXACT_SCAN_CHUNK, idx.rows, idx.norms,
+            idx.extras, idx.slot_to_id, live, rows_mm, aux_p, live_p,
+            qv, qn, qe, qf,
+        )
+
     if precision == "f32x1":
         def f32x1_fn(qv, qn, qe, qf):
+            out = _maybe_scan(qv, qn, qe, qf, idx.rows.dtype)
+            if out is not None:
+                return out
             return _exact_f32_direct(
                 metric, idx.dims, int(k), idx.rows, idx.norms, idx.extras,
                 idx.slot_to_id, live, qv, qn, qe, qf,
@@ -939,6 +1060,9 @@ def make_exact_fn(
         c = max(min(_next_pow2(8 * k), idx.cap), 64)
 
         def bf16_fn(qv, qn, qe, qf):
+            out = _maybe_scan(qv, qn, qe, qf, jnp.bfloat16)
+            if out is not None:
+                return out
             return _exact_bf16(
                 metric, idx.dims, int(k), int(c), idx.rows, rows_bf16,
                 idx.norms, idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,
@@ -949,6 +1073,9 @@ def make_exact_fn(
     c32 = max(min(_next_pow2(8 * k), idx.cap), 128)
 
     def f32_fn(qv, qn, qe, qf):
+        out = _maybe_scan(qv, qn, qe, qf, idx.rows.dtype)
+        if out is not None:
+            return out
         return _exact_f32(
             metric, idx.dims, int(k), int(c32), idx.rows, idx.norms,
             idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,

@@ -89,3 +89,24 @@ def test_exact_engine_empty_filter_and_dot():
     got = s(q)
     for o, g in zip(oracle, got):
         assert [i for i, _ in g] == [i for i, _ in o]
+
+
+def test_exact_scan_path_matches_oracle(monkeypatch):
+    """The chunked/streaming exact path (large-corpus mode), forced by
+    shrinking the dot-matrix budget, must agree with the oracle."""
+    import arroy_tpu.search as search_mod
+
+    monkeypatch.setattr(search_mod, "_EXACT_DOTS_BYTES", 1)  # force scan
+    monkeypatch.setattr(search_mod, "_EXACT_SCAN_CHUNK", 128)
+    for metric in ("euclidean", "cosine", "dot-product"):
+        r, q = _build(metric, m=700, d=24, seed=13)
+        oracle = r.exact_by_vectors(q, 10)
+        got = r.searcher(10, engine="exact", precision="f32x1")(q)
+        hits = sum(
+            len({i for i, _ in g} & {i for i, _ in o})
+            for g, o in zip(got, oracle)
+        )
+        assert hits / (len(q) * 10) >= 0.95, metric
+        # distances exact (f32 re-score stage)
+        for g, o in zip(got, oracle):
+            assert g[0][1] == pytest.approx(o[0][1], rel=1e-4, abs=1e-4)
