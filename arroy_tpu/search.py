@@ -853,6 +853,82 @@ _EXACT_DOTS_BYTES = 1 << 30
 _EXACT_SCAN_CHUNK = 65_536
 
 
+def _exact_bq_scan_impl(
+    metric_name, dims, k, chunk, interpret, slot_to_id,
+    rows_p, norms_p, live_p, qv, qn,
+):
+    """Streaming BQ exact search: popcount one item chunk at a time.
+
+    The BQ analog of `_exact_scan` — bounds device memory to [B, chunk]
+    so binary corpora beyond the 1 GB distance-matrix limit (>~262k
+    items at B=1024) still get exact service.  Unlike the f32 scan, the
+    per-chunk distances are already exact (popcounts), so the carried
+    winners need no final re-score; ties resolve lowest-slot-first
+    because earlier chunks sit first in the concatenated top-k, matching
+    `_exact_bq_matrix`'s full-matrix `lax.top_k`.
+    """
+    from .ops.binary import WORD_BITS
+    from .ops.pallas_kernels import bq_hamming_matrix
+
+    b = qv.shape[0]
+    m = rows_p.shape[0]
+    n_chunks = m // chunk
+    d_pad = rows_p.shape[1] * WORD_BITS
+
+    def body(carry, i):
+        best_d, best_i = carry  # [B, k] running best distances/slots
+        base = i * chunk
+        rc = jax.lax.dynamic_slice(rows_p, (base, 0), (chunk, rows_p.shape[1]))
+        h = bq_hamming_matrix(qv, rc, interpret=interpret).astype(jnp.float32)
+        if metric_name == "binary quantized euclidean":
+            d = 4.0 * h
+        elif metric_name == "binary quantized manhattan":
+            d = 2.0 * h
+        else:  # binary quantized cosine
+            nc = jax.lax.dynamic_slice(norms_p, (base,), (chunk,))
+            pq = d_pad - 2.0 * h
+            pnqn = nc[None, :] * qn[:, None]
+            cos = pq / jnp.where(pnqn != 0.0, pnqn, 1.0)
+            d = jnp.where(pnqn != 0.0, (1.0 - cos) / 2.0, 0.0)
+        lc = jax.lax.dynamic_slice(live_p, (base,), (chunk,))
+        d = jnp.where(lc[None, :], d, _INF)
+        neg, idx_c = jax.lax.top_k(-d, best_d.shape[1])
+        cat_d = jnp.concatenate([best_d, -neg], axis=1)
+        cat_i = jnp.concatenate([best_i, idx_c + base], axis=1)
+        negs, pos = jax.lax.top_k(-cat_d, best_d.shape[1])
+        return (-negs, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    kk = min(k, chunk)
+    best0 = (
+        jnp.full((b, kk), _INF, jnp.float32),
+        jnp.zeros((b, kk), jnp.int32),
+    )
+    (best_d, cand), _ = jax.lax.scan(
+        body, best0, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    out_d = best_d
+    ids = slot_to_id[jnp.minimum(cand, slot_to_id.shape[0] - 1)]
+    if metric_name == "binary quantized euclidean":
+        norm_fn = lambda v: v / dims
+    elif metric_name == "binary quantized manhattan":
+        norm_fn = lambda v: jnp.maximum(v, 0.0) / dims
+    else:
+        norm_fn = lambda v: v
+    out_d = jnp.where(out_d < _INF, norm_fn(out_d), jnp.float32(jnp.nan))
+    if kk < k:
+        pad = k - kk
+        ids = jnp.concatenate([ids, jnp.zeros((b, pad), ids.dtype)], axis=1)
+        out_d = jnp.concatenate(
+            [out_d, jnp.full((b, pad), jnp.nan, jnp.float32)], axis=1
+        )
+    return ids, out_d
+
+
+_exact_bq_scan = functools.partial(
+    jax.jit, static_argnames=("metric_name", "dims", "k", "chunk", "interpret")
+)(_exact_bq_scan_impl)
+
+
 def _exact_f32_direct_impl(
     metric, dims, k, rows, norms, extras, slot_to_id, live, qv, qn, qe, qf
 ):
@@ -986,8 +1062,31 @@ def make_exact_fn(
         import jax as _jax
 
         interp = _jax.default_backend() == "cpu"
+        bq_scan_state: dict = {}
+
+        def _bq_scan_operands():
+            if not bq_scan_state:
+                mpad = -(-idx.cap // _EXACT_SCAN_CHUNK) * _EXACT_SCAN_CHUNK
+                pad = mpad - idx.cap
+                rows_p, norms_p, live_p = idx.rows, idx.norms, live
+                if pad:
+                    rows_p = jnp.concatenate(
+                        [rows_p, jnp.zeros((pad, idx.rows.shape[1]), idx.rows.dtype)]
+                    )
+                    norms_p = jnp.concatenate([norms_p, jnp.zeros(pad, jnp.float32)])
+                    live_p = jnp.concatenate([live_p, jnp.zeros(pad, bool)])
+                bq_scan_state["ops"] = (rows_p, norms_p, live_p)
+            return bq_scan_state["ops"]
 
         def bq_fn(qv, qn, qe, qf):
+            # the [B, M] popcount matrix follows the same memory budget
+            # as the f32 dot matrix; stream chunks past it
+            if int(qv.shape[0]) * idx.cap * 4 > _EXACT_DOTS_BYTES:
+                rows_p, norms_p, live_p = _bq_scan_operands()
+                return _exact_bq_scan(
+                    metric.name, idx.dims, int(k), _EXACT_SCAN_CHUNK, interp,
+                    idx.slot_to_id, rows_p, norms_p, live_p, qv, qn,
+                )
             return _exact_bq_matrix(
                 metric.name, idx.dims, int(k), idx.rows, idx.norms,
                 idx.slot_to_id, live, qv, qn, interp,

@@ -120,6 +120,12 @@ def target_n_trees(
     return max(nb_trees, 1)
 
 
+#: per-grow-pass item bound, in units of split_after: the level step's
+#: two-means gather is [G, 12, sd] with G ~ 8*total/split_after, so this
+#: caps the device working set of one batched grow at ~2^16 segments
+_GROW_GROUP_SPLITS = 8192
+
+
 def _swap_remove0(lst: list) -> object:
     """Vec::swap_remove(0) (reference: src/writer.rs:648)."""
     removed = lst[0]
@@ -471,7 +477,33 @@ class Writer:
         if not seeds:
             return
         if ctx.budget_items is None:
-            grow_trees(ctx, seeds, key)
+            # Even without a user memory budget, bound each batched grow
+            # pass: the level-step two-means gathers [G, 12, sd] rows
+            # where G ~ 8*total/split_after, so an unbounded seed list
+            # (e.g. target_n_trees growing a 150k index from 10 to ~530
+            # trees seeds ~80M items at once) would allocate tens of GB.
+            # Seeds are independent; group them so each grow_trees call
+            # stays within a fixed device working set.  (The reference
+            # naturally bounds this per rayon task, src/writer.rs:568-591.)
+            cap = max(_GROW_GROUP_SPLITS * ctx.split_after, ctx.dims + 1)
+            groups: list[list] = [[]]
+            group_total = 0
+            for nid, slots in seeds:
+                n = len(slots)
+                if groups[-1] and group_total + n > cap:
+                    groups.append([])
+                    group_total = 0
+                groups[-1].append((nid, slots))
+                group_total += n
+            for gi, group in enumerate(groups):
+                if not group:
+                    continue
+                # group 0 keeps the ungrouped key so single-group builds
+                # (every test/golden) stay byte-identical; later groups
+                # MUST differ or identical seed item-sets (new trees over
+                # all items) would grow identical trees
+                gkey = key if gi == 0 else jax.random.fold_in(key, 0x6B0 + gi)
+                grow_trees(ctx, group, gkey)
             return
 
         rng = np.random.default_rng(

@@ -114,3 +114,53 @@ def test_all_zero_vectors():
     r.assert_validity()
     got = r.nns(3).by_item(0)
     assert len(got) == 3
+
+
+def test_grow_group_batching_keeps_trees_diverse(monkeypatch):
+    """Seeds are grown in bounded groups (one grow pass per group); trees
+    in different groups must still differ — a shared RNG key across
+    groups would grow byte-identical trees from identical item sets."""
+    import arroy_tpu.writer as writer_mod
+
+    # cap = max(1 * split_after, dims + 1) = 17 < 120 items => every
+    # seed (tree) lands in its own group
+    monkeypatch.setattr(writer_mod, "_GROW_GROUP_SPLITS", 1)
+    x = random_vectors(120, 16, seed=21)
+    db, w, r = build_db(x, n_trees=4, seed=22)
+    r.assert_validity()
+    f = r._state.forest
+    assert len(f.roots) == 4
+
+    def tree_shape(root):
+        # frozenset of leaf tuples — identical trees have identical shapes
+        out = []
+        stack = [root]
+        while stack:
+            nid = stack.pop()
+            if nid in f.leaves:
+                out.append(tuple(f.leaves[nid].tolist()))
+            else:
+                stack.extend((int(f.left[nid]), int(f.right[nid])))
+        return frozenset(out)
+
+    shapes = [tree_shape(rt) for rt in f.roots]
+    assert len(set(shapes)) > 1, "grouped grow produced identical trees"
+
+    # and recall is sane
+    got = r.nns(10).search_k(10**6).by_vectors(x[:8])
+    exact = r.exact_by_vectors(x[:8], 10)
+    assert recall(got, exact) > 0.95
+
+
+def test_grow_group_batching_matches_single_group():
+    """With everything in one group (the default for small builds) the
+    grouped path must be byte-identical to the ungrouped one."""
+    x = random_vectors(300, 8, seed=23)
+    _, _, r1 = build_db(x, n_trees=3, seed=24)
+    f1 = r1._state.forest
+    # independent build, same params: grouping thresholds don't change
+    _, _, r2 = build_db(x, n_trees=3, seed=24)
+    f2 = r2._state.forest
+    assert f1.roots == f2.roots
+    for nid in f1.leaves:
+        np.testing.assert_array_equal(f1.leaves[nid], f2.leaves[nid])

@@ -91,6 +91,44 @@ def test_exact_engine_empty_filter_and_dot():
         assert [i for i, _ in g] == [i for i, _ in o]
 
 
+@pytest.mark.parametrize(
+    "metric",
+    [
+        "binary quantized euclidean",
+        "binary quantized manhattan",
+        "binary quantized cosine",
+    ],
+)
+def test_exact_bq_scan_path_matches_matrix(metric, monkeypatch):
+    """The streaming BQ popcount path (large-corpus mode), forced by
+    shrinking the distance-matrix budget, must agree with the full
+    [B, M] popcount matrix exactly (both are exact popcounts)."""
+    import arroy_tpu.search as search_mod
+
+    r, q = _build(metric, m=700, d=24, seed=17)
+    full = r.searcher(10, engine="exact")(q)
+    monkeypatch.setattr(search_mod, "_EXACT_DOTS_BYTES", 1)  # force scan
+    monkeypatch.setattr(search_mod, "_EXACT_SCAN_CHUNK", 128)
+    scanned = r.searcher(10, engine="exact")(q)
+    for f, s in zip(full, scanned):
+        assert [i for i, _ in f] == [i for i, _ in s]
+        for (_, fd), (_, sd) in zip(f, s):
+            assert fd == pytest.approx(sd, rel=0, abs=0)
+
+
+def test_exact_bq_scan_filtered(monkeypatch):
+    import arroy_tpu.search as search_mod
+
+    monkeypatch.setattr(search_mod, "_EXACT_DOTS_BYTES", 1)
+    monkeypatch.setattr(search_mod, "_EXACT_SCAN_CHUNK", 128)
+    r, q = _build("binary quantized euclidean", m=600, d=24, seed=19)
+    allowed = ItemSet(np.arange(0, 600, 5, dtype=np.uint32))
+    got = r.searcher(10, engine="exact", candidates=allowed)(q)
+    allow = set(range(0, 600, 5))
+    for row in got:
+        assert row and all(i in allow for i, _ in row)
+
+
 def test_exact_scan_path_matches_oracle(monkeypatch):
     """The chunked/streaming exact path (large-corpus mode), forced by
     shrinking the dot-matrix budget, must agree with the oracle."""
