@@ -531,13 +531,45 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
 # ---------------------------------------------------------------------------
 
 
+#: lanes per device routing call: [chunk, sd] gathers stay ~0.4 GB at 768-d
+_ROUTE_CHUNK = 1 << 17
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
-def _route_margins(metric, rows, extras, slots, normal_rows, aux_vals, normals_matrix):
-    v = rows[slots]
-    n = normals_matrix[normal_rows]
-    base = metric.base_dot(n, v)
-    qf = extras[slots] if metric.has_extra else 1.0
-    return base + aux_vals * qf
+def _route_leaves(
+    metric, rows, extras, slots, start, kind, left, right, ptr, aux, normals, key
+):
+    """Walk every (item-slot, start-node) lane to its destination leaf
+    entirely on device: per step gather each lane's split normal, compute
+    its margin, and step left/right; random side at normal-less splits
+    (reference: src/writer.rs:1409-1416).  One while_loop and ONE final
+    device->host transfer — the per-level host sync this replaces cost
+    seconds per level through the dev tunnel.
+    """
+    from .models.forest import KIND_SPLIT, KIND_SPLIT_NONE
+
+    qf = extras[slots] if metric.has_extra else jnp.float32(1.0)
+
+    def moving(node):
+        k = kind[node]
+        return (k == KIND_SPLIT) | (k == KIND_SPLIT_NONE)
+
+    def cond(c):
+        node, lvl = c
+        return jnp.any(moving(node)) & (lvl < 512)
+
+    def body(c):
+        node, lvl = c
+        k = kind[node]
+        nr = jnp.maximum(ptr[node], 0)
+        margin = metric.base_dot(normals[nr], rows[slots]) + aux[nr] * qf
+        rnd = jax.random.bernoulli(jax.random.fold_in(key, lvl), shape=node.shape)
+        go_right = jnp.where(k == KIND_SPLIT, ~jnp.signbit(margin), rnd)
+        nxt = jnp.where(go_right, right[node], left[node])
+        return jnp.where(moving(node), nxt, node), lvl + 1
+
+    node, _ = jax.lax.while_loop(cond, body, (start, jnp.int32(0)))
+    return node
 
 
 def route_items(
@@ -552,73 +584,64 @@ def route_items(
     Uses the forest in ctx.forest; split hyperplanes are read from
     `normals_matrix_dev` via ctx.forest.ptr.  Returns node_id → list of
     routed slot arrays (reference: insert_items_in_descendants_*,
-    src/writer.rs:1398-1531).
+    src/writer.rs:1398-1531).  The walk itself runs on device
+    (`_route_leaves`); the host only groups the final leaf assignment.
+    Random-side choices at normal-less splits use per-(lane, level)
+    threefry bits — same distribution as the reference's per-item
+    `rng.gen::<bool>()`, different stream (PARITY.md deviation 2).
     """
-    from .models.forest import KIND_LEAF, KIND_SPLIT, KIND_SPLIT_NONE
-
     f = ctx.forest
-    collected: dict[int, list[np.ndarray]] = {}
-    frontier = [(int(nid), np.asarray(slots, dtype=np.int64)) for nid, slots in entries]
-    all_slots = (
-        np.concatenate([sl for _, sl in frontier]) if frontier else np.empty(0)
+    entries = [
+        (int(nid), np.asarray(s, dtype=np.int64)) for nid, s in entries if len(s)
+    ]
+    if not entries:
+        return {}
+    all_slots = np.concatenate([s for _, s in entries])
+    starts = np.concatenate(
+        [np.full(len(s), nid, np.int32) for nid, s in entries]
     )
     rows_dev, extras_dev, _, remap, _ = ctx.device_view(all_slots)
-    level = 0
-    while frontier:
-        ctx.check_cancel()
-        leaf_hits = [(n, s) for n, s in frontier if f.kind[n] == KIND_LEAF]
-        for n, s in leaf_hits:
-            collected.setdefault(n, []).append(s)
-        none_hits = [(n, s) for n, s in frontier if f.kind[n] == KIND_SPLIT_NONE]
-        split_hits = [(n, s) for n, s in frontier if f.kind[n] == KIND_SPLIT]
+    slots_local = remap(all_slots)
+    kind_d = jnp.asarray(f.kind.astype(np.int32))
+    left_d = jnp.asarray(f.left)
+    right_d = jnp.asarray(f.right)
+    ptr_d = jnp.asarray(f.ptr)
+    aux_d = jnp.asarray(np.asarray(aux_lookup, np.float32))
 
-        next_frontier: list[tuple[int, np.ndarray]] = []
-        if split_hits:
-            slots_cat = remap(np.concatenate([s for _, s in split_hits]))
-            rows_cat = np.concatenate(
-                [np.full(len(s), f.ptr[n], np.int32) for n, s in split_hits]
-            )
-            aux_cat = aux_lookup[rows_cat].astype(np.float32)
-            # pad to a pow2 bucket so levels share compiled shapes
-            n_real = len(slots_cat)
-            n_pad = max(256, _next_pow2(n_real))
-            slots_p = np.zeros(n_pad, np.int32)
-            slots_p[:n_real] = slots_cat
-            rows_p = np.zeros(n_pad, np.int32)
-            rows_p[:n_real] = rows_cat
-            aux_p = np.zeros(n_pad, np.float32)
-            aux_p[:n_real] = aux_cat
-            margins = np.asarray(
-                _route_margins(
-                    ctx.metric,
-                    rows_dev,
-                    extras_dev,
-                    jnp.asarray(slots_p),
-                    jnp.asarray(rows_p),
-                    jnp.asarray(aux_p),
-                    normals_matrix_dev,
-                )
-            )[:n_real]
-            right = ~np.signbit(margins)
-            off = 0
-            for n, s in split_hits:
-                r = right[off : off + len(s)]
-                off += len(s)
-                l_slots, r_slots = s[~r], s[r]
-                if len(l_slots):
-                    next_frontier.append((int(f.left[n]), l_slots))
-                if len(r_slots):
-                    next_frontier.append((int(f.right[n]), r_slots))
-        rng_level = np.random.default_rng(
-            np.asarray(jax.random.key_data(jax.random.fold_in(key, level))).ravel()
+    dest = np.empty(len(all_slots), np.int64)
+    for ci, off in enumerate(range(0, len(all_slots), _ROUTE_CHUNK)):
+        ctx.check_cancel()
+        sl = slots_local[off : off + _ROUTE_CHUNK]
+        st = starts[off : off + _ROUTE_CHUNK]
+        n_real = len(sl)
+        # pad to a pow2 bucket so chunks/batches share compiled shapes
+        n_pad = max(256, _next_pow2(n_real))
+        sl_p = np.zeros(n_pad, np.int32)
+        sl_p[:n_real] = sl
+        st_p = np.full(n_pad, entries[0][0], np.int32)
+        st_p[:n_real] = st
+        node = _route_leaves(
+            ctx.metric,
+            rows_dev,
+            extras_dev,
+            jnp.asarray(sl_p),
+            jnp.asarray(st_p),
+            kind_d,
+            left_d,
+            right_d,
+            ptr_d,
+            aux_d,
+            normals_matrix_dev,
+            jax.random.fold_in(key, ci),
         )
-        for n, s in none_hits:
-            r = rng_level.random(len(s)) < 0.5
-            l_slots, r_slots = s[~r], s[r]
-            if len(l_slots):
-                next_frontier.append((int(f.left[n]), l_slots))
-            if len(r_slots):
-                next_frontier.append((int(f.right[n]), r_slots))
-        frontier = next_frontier
-        level += 1
+        dest[off : off + n_real] = np.asarray(node)[:n_real]
+
+    order = np.argsort(dest, kind="stable")
+    sdest, sslots = dest[order], all_slots[order]
+    cuts = np.nonzero(np.diff(sdest))[0] + 1
+    groups = np.split(sslots, cuts)
+    heads = sdest[np.concatenate([[0], cuts]).astype(np.int64)]
+    collected: dict[int, list[np.ndarray]] = {}
+    for nid, g in zip(heads, groups):
+        collected.setdefault(int(nid), []).append(g)
     return collected

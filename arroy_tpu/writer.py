@@ -188,6 +188,23 @@ class Writer:
             return True
         return False
 
+    def del_items(self, wtxn: WriteTxn, items) -> int:
+        """Bulk delete; returns how many of `items` existed.
+
+        Batched counterpart of `del_item` (reference has only the scalar
+        form, src/writer.rs:424-436) — one state lookup for the whole
+        batch instead of one per id.
+        """
+        st = self._state(wtxn)
+        n = 0
+        delete = st.store.delete
+        mark = st.updated.add
+        for i in np.asarray(items).tolist():
+            if delete(i):
+                mark(int(i))
+                n += 1
+        return n
+
     def clear(self, wtxn: WriteTxn) -> None:
         """Remove user items and tree nodes alike (reference: src/writer.rs:439-452)."""
         wtxn.drop_index(self.index)

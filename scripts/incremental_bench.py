@@ -74,8 +74,7 @@ def main():
     del_ids = rng.choice(m0 + N_UPD, size=N_UPD, replace=False).astype(np.uint32)
     t0 = time.perf_counter()
     with db.write() as t:
-        for i in del_ids:
-            w.del_item(t, int(i))
+        w.del_items(t, del_ids)
         t_del = time.perf_counter()
         w.builder(seed=100).n_trees(n_trees).build(t)
         t_build = time.perf_counter()

@@ -88,6 +88,20 @@ def test_del_item_returns_presence():
         assert w.del_item(wtxn, 1) is False
 
 
+def test_del_items_bulk():
+    x = random_vectors(50, 4)
+    db, w, r = build_db(x, n_trees=2)
+    with db.write() as wtxn:
+        assert w.del_items(wtxn, np.arange(10, dtype=np.uint32)) == 10
+        assert w.del_items(wtxn, [5, 6, 49]) == 1  # 5, 6 already gone
+        w.builder(seed=1).n_trees(2).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    assert r.n_items() == 39
+    r.assert_validity()
+    got = r.nns(5).by_item(20)
+    assert all(i >= 10 and i != 49 for i, _ in got)
+
+
 def test_clear_removes_everything():
     x = random_vectors(30, 4)
     db, w, r = build_db(x, n_trees=2)
