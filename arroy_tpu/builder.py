@@ -608,7 +608,10 @@ def route_items(
     ptr_d = jnp.asarray(f.ptr)
     aux_d = jnp.asarray(np.asarray(aux_lookup, np.float32))
 
-    dest = np.empty(len(all_slots), np.int64)
+    # dispatch every chunk, then ONE device->host transfer at the end
+    # (each sync costs ~30ms-to-seconds through the dev tunnel)
+    parts = []
+    reals = []
     for ci, off in enumerate(range(0, len(all_slots), _ROUTE_CHUNK)):
         ctx.check_cancel()
         sl = slots_local[off : off + _ROUTE_CHUNK]
@@ -620,21 +623,28 @@ def route_items(
         sl_p[:n_real] = sl
         st_p = np.full(n_pad, entries[0][0], np.int32)
         st_p[:n_real] = st
-        node = _route_leaves(
-            ctx.metric,
-            rows_dev,
-            extras_dev,
-            jnp.asarray(sl_p),
-            jnp.asarray(st_p),
-            kind_d,
-            left_d,
-            right_d,
-            ptr_d,
-            aux_d,
-            normals_matrix_dev,
-            jax.random.fold_in(key, ci),
+        parts.append(
+            _route_leaves(
+                ctx.metric,
+                rows_dev,
+                extras_dev,
+                jnp.asarray(sl_p),
+                jnp.asarray(st_p),
+                kind_d,
+                left_d,
+                right_d,
+                ptr_d,
+                aux_d,
+                normals_matrix_dev,
+                jax.random.fold_in(key, ci),
+            )
         )
-        dest[off : off + n_real] = np.asarray(node)[:n_real]
+        reals.append(n_real)
+    whole = np.asarray(parts[0] if len(parts) == 1 else jnp.concatenate(parts))
+    bases = np.cumsum([0] + [len(p) for p in parts[:-1]])
+    dest = np.concatenate(
+        [whole[b : b + r] for b, r in zip(bases, reals)]
+    ).astype(np.int64)
 
     order = np.argsort(dest, kind="stable")
     sdest, sslots = dest[order], all_slots[order]

@@ -210,3 +210,30 @@ def test_dot_product_preprocess_recomputed_incrementally():
     exact2 = r2.exact_by_vectors(x[0][None], 5)[0]
     assert [i for i, _ in got2] == [i for i, _ in exact2]
     assert got2[0][0] == 500  # the huge vector dominates by dot product
+
+
+def test_route_chunking_matches_single_chunk(monkeypatch):
+    """Multi-chunk device routing must land items on the same leaves as
+    one big chunk (margins are deterministic; only the random-side
+    threefry stream is per-chunk, and these trees have real normals)."""
+    import arroy_tpu.builder as builder_mod
+
+    def run(chunk):
+        if chunk:
+            monkeypatch.setattr(builder_mod, "_ROUTE_CHUNK", chunk)
+        x = random_vectors(400, 8, seed=31)
+        db = Database()
+        w = Writer(db, 0, 8)
+        with db.write() as wtxn:
+            w.add_items(wtxn, np.arange(300, dtype=np.uint32), x[:300])
+            w.builder(seed=7).n_trees(3).build(wtxn)
+        with db.write() as wtxn:
+            w.add_items(wtxn, np.arange(300, 400, dtype=np.uint32), x[300:])
+            w.builder(seed=8).n_trees(3).build(wtxn)
+        r = Reader.open(db.read(), 0, db)
+        r.assert_validity()
+        f = r._state.forest
+        return {nid: tuple(f.leaves[nid].tolist()) for nid in f.leaves}
+
+    # 300 lanes over 3 roots = 900 entries; chunk=256 forces 4 chunks
+    assert run(None) == run(256)
