@@ -590,6 +590,13 @@ def route_items(
     threefry bits — same distribution as the reference's per-item
     `rng.gen::<bool>()`, different stream (PARITY.md deviation 2).
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = _os.environ.get("ARROY_ROUTE_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
     f = ctx.forest
     entries = [
         (int(nid), np.asarray(s, dtype=np.int64)) for nid, s in entries if len(s)
@@ -640,7 +647,23 @@ def route_items(
             )
         )
         reals.append(n_real)
+    if _dbg:
+        _t1 = _time.perf_counter()
+        jax.block_until_ready(parts)
+        _t2 = _time.perf_counter()
+        print(
+            f"route: setup+dispatch {_t1 - _t0:.2f}s  device {_t2 - _t1:.2f}s"
+            f"  ({len(parts)} chunks, {len(all_slots)} lanes)",
+            file=_sys.stderr,
+            flush=True,
+        )
     whole = np.asarray(parts[0] if len(parts) == 1 else jnp.concatenate(parts))
+    if _dbg:
+        print(
+            f"route: transfer done at {_time.perf_counter() - _t0:.2f}s",
+            file=_sys.stderr,
+            flush=True,
+        )
     bases = np.cumsum([0] + [len(p) for p in parts[:-1]])
     dest = np.concatenate(
         [whole[b : b + r] for b, r in zip(bases, reals)]
@@ -654,4 +677,11 @@ def route_items(
     collected: dict[int, list[np.ndarray]] = {}
     for nid, g in zip(heads, groups):
         collected.setdefault(int(nid), []).append(g)
+    if _dbg:
+        print(
+            f"route: total {_time.perf_counter() - _t0:.2f}s"
+            f" ({len(collected)} leaves)",
+            file=_sys.stderr,
+            flush=True,
+        )
     return collected

@@ -12,10 +12,26 @@ up to u32::MAX) — memory scales with the number of items, not the max id
 
 from __future__ import annotations
 
+import itertools
+import os
+from collections import OrderedDict
+
 import numpy as np
 
 from ..errors import InvalidVecDimension
 from ..metrics import Metric
+
+#: globally-unique mutation stamps: no two distinct store states within a
+#: lineage can ever share an epoch, so MVCC clones that diverge from the
+#: same base invalidate each other's device mirror instead of corrupting it
+_EPOCHS = itertools.count(1)
+
+#: lineage -> (sync_epoch, rows_dev, norms_dev, extras_dev).  One resident
+#: device mirror per store lineage (clones share the lineage; the epoch
+#: check decides whether the mirror can be patched or must be re-uploaded).
+#: Bounded LRU so dropped/forgotten indexes release their HBM.
+_DEVICE_MIRROR: "OrderedDict[int, tuple]" = OrderedDict()
+_DEVICE_MIRROR_CAP = 4
 
 
 class ItemStore:
@@ -32,6 +48,10 @@ class ItemStore:
         self._slot_ids = np.zeros((0,), dtype=np.int64)  # slot -> id (-1 = free)
         self._id_to_slot: dict[int, int] = {}
         self._free: list[int] = []
+        self._lineage = next(_EPOCHS)
+        self._epoch = 0  # last mutation stamp
+        self._sync_epoch = -1  # epoch at the last device-mirror sync
+        self._dirty: set[int] = set()  # slots touched since that sync
 
     @staticmethod
     def from_arrays(
@@ -65,7 +85,73 @@ class ItemStore:
         c._slot_ids = self._slot_ids.copy()
         c._id_to_slot = dict(self._id_to_slot)
         c._free = list(self._free)
+        c._lineage = self._lineage
+        c._epoch = self._epoch
+        c._sync_epoch = self._sync_epoch
+        c._dirty = set(self._dirty)
         return c
+
+    def _touch(self, slots) -> None:
+        self._epoch = next(_EPOCHS)
+        self._dirty.update(slots)
+
+    def device_arrays(self):
+        """Device mirror of (rows, norms, extras), synced incrementally.
+
+        The mirror persists across builds (the on-device analog of the
+        reference's LMDB mmap staying warm across transactions): when the
+        cached copy matches this store's last sync point, only the slots
+        mutated since then are scatter-uploaded — an incremental build
+        after inserting N items uploads N rows, not the whole matrix.
+        Any divergence (aborted txn, competing clone, capacity shrink)
+        fails the epoch check and falls back to a full upload.  Disable
+        with ARROY_DEVICE_MIRROR=0.
+        """
+        import jax.numpy as jnp
+
+        cap = self._rows.shape[0]
+        ent = (
+            _DEVICE_MIRROR.get(self._lineage)
+            if os.environ.get("ARROY_DEVICE_MIRROR", "1") != "0"
+            else None
+        )
+        patchable = (
+            ent is not None
+            and ent[0] == self._sync_epoch
+            and ent[1].shape[0] <= cap
+            and ent[1].dtype == self._rows.dtype
+            and ent[1].shape[1] == self._rows.shape[1]
+        )
+        if not patchable:
+            rows = jnp.asarray(self._rows)
+            norms = jnp.asarray(self._norms)
+            extras = jnp.asarray(self._extras)
+        else:
+            _, rows, norms, extras = ent
+            if rows.shape[0] < cap:
+                # capacity growth pads with zeros on device (host side
+                # pads with zeros too; fresh slots arrive via the dirty set)
+                pad = cap - rows.shape[0]
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((pad, rows.shape[1]), rows.dtype)]
+                )
+                norms = jnp.concatenate([norms, jnp.zeros(pad, norms.dtype)])
+                extras = jnp.concatenate([extras, jnp.zeros(pad, extras.dtype)])
+            if self._dirty:
+                idx = np.fromiter(self._dirty, np.int64, len(self._dirty))
+                idx.sort()
+                rows = rows.at[idx].set(self._rows[idx])
+                norms = norms.at[idx].set(self._norms[idx])
+                extras = extras.at[idx].set(self._extras[idx])
+        if self._epoch == 0:
+            self._epoch = next(_EPOCHS)
+        self._sync_epoch = self._epoch
+        self._dirty.clear()
+        _DEVICE_MIRROR[self._lineage] = (self._sync_epoch, rows, norms, extras)
+        _DEVICE_MIRROR.move_to_end(self._lineage)
+        while len(_DEVICE_MIRROR) > _DEVICE_MIRROR_CAP:
+            _DEVICE_MIRROR.popitem(last=False)
+        return rows, norms, extras
 
     # -- basic ops -----------------------------------------------------
     def __len__(self) -> int:
@@ -114,6 +200,7 @@ class ItemStore:
         self._rows[slot] = row
         self._norms[slot] = self.metric.item_norms_np(row[None, :], self.dims)[0]
         self._extras[slot] = 0.0
+        self._touch((slot,))
 
     def put_many(self, items: np.ndarray, vectors: np.ndarray) -> None:
         """Vectorized bulk insert/overwrite (no reference equivalent —
@@ -142,6 +229,7 @@ class ItemStore:
         self._rows[slots] = rows
         self._norms[slots] = norms
         self._extras[slots] = 0.0
+        self._touch(slots.tolist())
 
     def delete(self, item: int) -> bool:
         slot = self._id_to_slot.pop(int(item), None)
@@ -152,6 +240,7 @@ class ItemStore:
         self._norms[slot] = 0.0
         self._extras[slot] = 0.0
         self._free.append(slot)
+        self._touch((slot,))
         return True
 
     def get_vector(self, item: int) -> np.ndarray | None:
@@ -192,3 +281,4 @@ class ItemStore:
         """Write per-item header data computed by `Distance::preprocess`."""
         self._norms[slots] = norms
         self._extras[slots] = extras
+        self._touch(np.asarray(slots).tolist())

@@ -347,7 +347,6 @@ class Writer:
         opt.progress(WriterProgress(MainStep.RETRIEVING_THE_ITEMS))
         cancelled()
         sd = metric.storage_dim(dims)
-        np_dtype = np.uint32 if metric.binary else np.float32
         slot_to_id = st.store.slot_ids()
 
         budget_items = None
@@ -367,9 +366,10 @@ class Writer:
         if streaming:
             rows_dev = extras_dev = hnorms_dev = None
         else:
-            rows_dev = jnp.asarray(st.store.rows().astype(np_dtype, copy=False))
-            extras_dev = jnp.asarray(st.store.extras())
-            hnorms_dev = jnp.asarray(st.store.norms())
+            # persistent device mirror: only slots mutated since the last
+            # build are scatter-uploaded (incremental builds stop paying a
+            # full-matrix host->device transfer; see ItemStore.device_arrays)
+            rows_dev, hnorms_dev, extras_dev = st.store.device_arrays()
 
         staging = []
         staging_aux = []

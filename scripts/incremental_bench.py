@@ -54,12 +54,21 @@ def main():
     # not an incremental measurement)
     n_trees = r0.n_trees()
     w = Writer(db, 0, D)
+
+    phases = []
+
+    def track(p):
+        phases.append((p.main.name, time.perf_counter()))
+
     t0 = time.perf_counter()
     with db.write() as t:
         w.add_items(t, new_ids, x_new)
         t_add = time.perf_counter()
-        w.builder(seed=99).n_trees(n_trees).build(t)
+        w.builder(seed=99).n_trees(n_trees).progress(track).build(t)
         t_build = time.perf_counter()
+    for (name, ts), (_, nxt) in zip(phases, phases[1:] + [("", t_build)]):
+        if nxt - ts > 0.5:
+            print(f"  phase {name}: {nxt - ts:.1f}s", flush=True)
     print(
         f"insert {N_UPD}: add {t_add - t0:.2f}s  incremental build "
         f"{t_build - t_add:.2f}s",

@@ -237,3 +237,43 @@ def test_route_chunking_matches_single_chunk(monkeypatch):
 
     # 300 lanes over 3 roots = 900 entries; chunk=256 forces 4 chunks
     assert run(None) == run(256)
+
+
+def test_device_mirror_incremental_sync():
+    """The persistent device mirror must be bit-identical to a fresh
+    upload after puts, deletes, capacity growth, and clone divergence."""
+    from arroy_tpu.metrics import resolve_metric
+    from arroy_tpu.models.items import ItemStore
+
+    met = resolve_metric("euclidean")
+    s = ItemStore(met, 4)
+    rng = np.random.default_rng(3)
+    s.put_many(np.arange(10), rng.standard_normal((10, 4)).astype(np.float32))
+    r1, n1, e1 = s.device_arrays()  # full upload
+    np.testing.assert_array_equal(np.asarray(r1), s.rows())
+
+    # dirty patch: overwrite 3, delete 1
+    s.put(2, rng.standard_normal(4).astype(np.float32))
+    s.delete(7)
+    r2, n2, e2 = s.device_arrays()
+    np.testing.assert_array_equal(np.asarray(r2), s.rows())
+    np.testing.assert_array_equal(np.asarray(n2), s.norms())
+
+    # capacity growth (put beyond current capacity pads the mirror)
+    s.put_many(
+        np.arange(100, 300), rng.standard_normal((200, 4)).astype(np.float32)
+    )
+    r3, _, _ = s.device_arrays()
+    np.testing.assert_array_equal(np.asarray(r3), s.rows())
+
+    # clone divergence: both clones sync; each must still match itself
+    a, b = s.clone(), s.clone()
+    a.put(0, np.ones(4, np.float32))
+    ra, _, _ = a.device_arrays()
+    np.testing.assert_array_equal(np.asarray(ra), a.rows())
+    b.put(0, np.full(4, 2.0, np.float32))
+    rb, _, _ = b.device_arrays()  # epoch mismatch -> full re-upload
+    np.testing.assert_array_equal(np.asarray(rb), b.rows())
+    # and the original, never mutated since its sync, still matches
+    rs, _, _ = s.device_arrays()
+    np.testing.assert_array_equal(np.asarray(rs), s.rows())
