@@ -209,12 +209,21 @@ class DeviceIndex:
     @staticmethod
     def build(metric: type[Metric], dims: int, store: ItemStore, forest: Forest) -> "DeviceIndex":
         pk = DeviceIndex.build_np(metric, dims, store, forest)
+        if store.capacity() > 0:
+            # reuse the store's persistent device mirror (identical
+            # content; build_np only zero-pads an empty store) — opening a
+            # reader after a build in the same process transfers no rows
+            rows_d, norms_d, extras_d = store.device_arrays()
+        else:
+            rows_d = jnp.asarray(pk["rows"])
+            norms_d = jnp.asarray(pk["norms"])
+            extras_d = jnp.asarray(pk["extras"])
         return DeviceIndex(
             metric=metric,
             dims=dims,
-            rows=jnp.asarray(pk["rows"]),
-            norms=jnp.asarray(pk["norms"]),
-            extras=jnp.asarray(pk["extras"]),
+            rows=rows_d,
+            norms=norms_d,
+            extras=extras_d,
             slot_to_id=jnp.asarray(pk["slot_to_id"]),
             live=jnp.asarray(pk["live"]),
             slot_to_id_np=pk["slot_to_id_np"],

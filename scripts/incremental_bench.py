@@ -80,6 +80,27 @@ def main():
     assert got and got[0][0] == int(new_ids[0]) or got[0][1] <= 1e-5
     print(f"post-insert: {r.n_items()} items, validity OK", flush=True)
 
+    # warm round: same process => compiled kernels + device mirror are hot;
+    # this is the steady-state cost of an incremental insert batch
+    n2 = N_UPD // 2
+    x2 = np.where(mask[:n2], parents[pa[:n2]], parents[pb[:n2]]).astype(np.float32)
+    x2 += 0.03 * rng.standard_normal((n2, D)).astype(np.float32)
+    ids2 = np.arange(m0 + N_UPD, m0 + N_UPD + n2, dtype=np.uint32)
+    t0 = time.perf_counter()
+    with db.write() as t:
+        w.add_items(t, ids2, x2)
+        t_add = time.perf_counter()
+        w.builder(seed=101).n_trees(n_trees).build(t)
+        t_build = time.perf_counter()
+    print(
+        f"insert {n2} (warm): add {t_add - t0:.2f}s  incremental build "
+        f"{t_build - t_add:.2f}s",
+        flush=True,
+    )
+    r = Reader.open(db.read(), 0, db)
+    r.assert_validity()
+    print(f"post-insert2: {r.n_items()} items, validity OK", flush=True)
+
     del_ids = rng.choice(m0 + N_UPD, size=N_UPD, replace=False).astype(np.uint32)
     t0 = time.perf_counter()
     with db.write() as t:
