@@ -853,6 +853,18 @@ _EXACT_DOTS_BYTES = 1 << 30
 _EXACT_SCAN_CHUNK = 65_536
 
 
+def _scan_chunk(batch: int) -> int:
+    """Item-chunk width for the streaming exact paths: the largest pow2
+    multiple of `_EXACT_SCAN_CHUNK` whose [batch, chunk] distance block
+    stays within half the dot-matrix budget.  Bigger chunks mean fewer
+    sequential scan steps (each pays a top_k merge); the floor keeps the
+    compiled-shape bucket count small."""
+    c = _EXACT_SCAN_CHUNK
+    while batch * (c * 2) * 4 <= _EXACT_DOTS_BYTES // 2:
+        c *= 2
+    return c
+
+
 def _exact_bq_scan_impl(
     metric_name, dims, k, chunk, interpret, slot_to_id,
     rows_p, norms_p, live_p, qv, qn,
@@ -1064,9 +1076,9 @@ def make_exact_fn(
         interp = _jax.default_backend() == "cpu"
         bq_scan_state: dict = {}
 
-        def _bq_scan_operands():
-            if not bq_scan_state:
-                mpad = -(-idx.cap // _EXACT_SCAN_CHUNK) * _EXACT_SCAN_CHUNK
+        def _bq_scan_operands(chunk):
+            if chunk not in bq_scan_state:
+                mpad = -(-idx.cap // chunk) * chunk
                 pad = mpad - idx.cap
                 rows_p, norms_p, live_p = idx.rows, idx.norms, live
                 if pad:
@@ -1075,16 +1087,17 @@ def make_exact_fn(
                     )
                     norms_p = jnp.concatenate([norms_p, jnp.zeros(pad, jnp.float32)])
                     live_p = jnp.concatenate([live_p, jnp.zeros(pad, bool)])
-                bq_scan_state["ops"] = (rows_p, norms_p, live_p)
-            return bq_scan_state["ops"]
+                bq_scan_state[chunk] = (rows_p, norms_p, live_p)
+            return bq_scan_state[chunk]
 
         def bq_fn(qv, qn, qe, qf):
             # the [B, M] popcount matrix follows the same memory budget
             # as the f32 dot matrix; stream chunks past it
             if int(qv.shape[0]) * idx.cap * 4 > _EXACT_DOTS_BYTES:
-                rows_p, norms_p, live_p = _bq_scan_operands()
+                chunk = _scan_chunk(int(qv.shape[0]))
+                rows_p, norms_p, live_p = _bq_scan_operands(chunk)
                 return _exact_bq_scan(
-                    metric.name, idx.dims, int(k), _EXACT_SCAN_CHUNK, interp,
+                    metric.name, idx.dims, int(k), chunk, interp,
                     idx.slot_to_id, rows_p, norms_p, live_p, qv, qn,
                 )
             return _exact_bq_matrix(
@@ -1108,13 +1121,13 @@ def make_exact_fn(
 
     scan_state: dict = {}
 
-    def _scan_operands(dtype):
+    def _scan_operands(dtype, chunk):
         """Padded streaming operands for `_exact_scan`, built lazily on
         the first batch large enough to need chunking (the padded copy
         of the row matrix costs memory; bf16 halves it)."""
-        key = str(dtype)
+        key = (str(dtype), chunk)
         if key not in scan_state:
-            mpad = -(-idx.cap // _EXACT_SCAN_CHUNK) * _EXACT_SCAN_CHUNK
+            mpad = -(-idx.cap // chunk) * chunk
             pad = mpad - idx.cap
             rows_mm = idx.rows.astype(dtype)
             if metric.name == "euclidean":
@@ -1136,9 +1149,10 @@ def make_exact_fn(
     def _maybe_scan(qv, qn, qe, qf, dtype):
         if int(qv.shape[0]) * idx.cap * 4 <= _EXACT_DOTS_BYTES:
             return None
-        rows_mm, aux_p, live_p = _scan_operands(dtype)
+        chunk = _scan_chunk(int(qv.shape[0]))
+        rows_mm, aux_p, live_p = _scan_operands(dtype, chunk)
         return _exact_scan(
-            metric, idx.dims, int(k), _EXACT_SCAN_CHUNK, idx.rows, idx.norms,
+            metric, idx.dims, int(k), chunk, idx.rows, idx.norms,
             idx.extras, idx.slot_to_id, live, rows_mm, aux_p, live_p,
             qv, qn, qe, qf,
         )
