@@ -28,6 +28,7 @@ node count so the traversal is never truncated.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -866,32 +867,53 @@ def _scan_chunk(batch: int) -> int:
 
 
 def _exact_bq_scan_impl(
-    metric_name, dims, k, chunk, interpret, slot_to_id,
+    metric_name, dims, k, chunk, interpret, mxu, slot_to_id,
     rows_p, norms_p, live_p, qv, qn,
 ):
-    """Streaming BQ exact search: popcount one item chunk at a time.
+    """Streaming BQ exact search: score one item chunk at a time.
 
     The BQ analog of `_exact_scan` — bounds device memory to [B, chunk]
     so binary corpora beyond the 1 GB distance-matrix limit (>~262k
     items at B=1024) still get exact service.  Unlike the f32 scan, the
-    per-chunk distances are already exact (popcounts), so the carried
-    winners need no final re-score; ties resolve lowest-slot-first
-    because earlier chunks sit first in the concatenated top-k, matching
+    per-chunk distances are already exact, so the carried winners need
+    no final re-score; ties resolve lowest-slot-first because earlier
+    chunks sit first in the concatenated top-k, matching
     `_exact_bq_matrix`'s full-matrix `lax.top_k`.
+
+    Two chunk kernels, identical results:
+
+    * ``mxu=False``: VPU popcounts over the packed words (`rows_p` is
+      [M, w] uint32) — minimal HBM (1 bit/dim).
+    * ``mxu=True``: `rows_p` is the ±1 **bf16 decode** [M, d_pad] and
+      hamming comes off the MXU as ``h = (d_pad - q̃·x̃)/2`` — exact,
+      since ±1 products accumulate in f32 and |sum| <= d_pad << 2^24.
+      Trades 16x the packed bytes (gated by ARROY_BQ_DECODE_BYTES) for
+      MXU throughput; see STATUS.md for on-chip numbers.
     """
-    from .ops.binary import WORD_BITS
+    from .ops.binary import WORD_BITS, unpack_bits_jnp
     from .ops.pallas_kernels import bq_hamming_matrix
 
     b = qv.shape[0]
     m = rows_p.shape[0]
     n_chunks = m // chunk
-    d_pad = rows_p.shape[1] * WORD_BITS
+    if mxu:
+        d_pad = rows_p.shape[1]
+        qdec = unpack_bits_jnp(qv, d_pad).astype(jnp.bfloat16)
+    else:
+        d_pad = rows_p.shape[1] * WORD_BITS
 
     def body(carry, i):
         best_d, best_i = carry  # [B, k] running best distances/slots
         base = i * chunk
         rc = jax.lax.dynamic_slice(rows_p, (base, 0), (chunk, rows_p.shape[1]))
-        h = bq_hamming_matrix(qv, rc, interpret=interpret).astype(jnp.float32)
+        if mxu:
+            dot = jax.lax.dot_general(
+                qdec, rc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h = (d_pad - dot) * 0.5
+        else:
+            h = bq_hamming_matrix(qv, rc, interpret=interpret).astype(jnp.float32)
         if metric_name == "binary quantized euclidean":
             d = 4.0 * h
         elif metric_name == "binary quantized manhattan":
@@ -937,8 +959,12 @@ def _exact_bq_scan_impl(
 
 
 _exact_bq_scan = functools.partial(
-    jax.jit, static_argnames=("metric_name", "dims", "k", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("metric_name", "dims", "k", "chunk", "interpret", "mxu"),
 )(_exact_bq_scan_impl)
+
+#: decoded ±1 bf16 corpus budget for the BQ MXU scan (16x the packed size)
+_BQ_DECODE_BYTES = int(os.environ.get("ARROY_BQ_DECODE_BYTES", 4 << 30))
 
 
 def _exact_f32_direct_impl(
@@ -1076,28 +1102,54 @@ def make_exact_fn(
         interp = _jax.default_backend() == "cpu"
         bq_scan_state: dict = {}
 
-        def _bq_scan_operands(chunk):
-            if chunk not in bq_scan_state:
+        def _bq_scan_operands(chunk, mxu):
+            key = (chunk, mxu)
+            if key not in bq_scan_state:
+                from .ops.binary import unpack_bits_jnp
+
                 mpad = -(-idx.cap // chunk) * chunk
                 pad = mpad - idx.cap
-                rows_p, norms_p, live_p = idx.rows, idx.norms, live
-                if pad:
+                if mxu:
+                    d_pad = idx.rows.shape[1] * 32
+                    # decode in pieces: the [n, w, 32] unpack temporary
+                    # would be 32x the packed size in one shot
+                    step = 65_536
                     rows_p = jnp.concatenate(
-                        [rows_p, jnp.zeros((pad, idx.rows.shape[1]), idx.rows.dtype)]
+                        [
+                            unpack_bits_jnp(
+                                idx.rows[i : i + step], d_pad
+                            ).astype(jnp.bfloat16)
+                            for i in range(0, idx.cap, step)
+                        ]
+                        + (
+                            [jnp.zeros((pad, d_pad), jnp.bfloat16)] if pad else []
+                        )
                     )
+                else:
+                    rows_p = idx.rows
+                    if pad:
+                        rows_p = jnp.concatenate(
+                            [
+                                rows_p,
+                                jnp.zeros((pad, idx.rows.shape[1]), idx.rows.dtype),
+                            ]
+                        )
+                norms_p, live_p = idx.norms, live
+                if pad:
                     norms_p = jnp.concatenate([norms_p, jnp.zeros(pad, jnp.float32)])
                     live_p = jnp.concatenate([live_p, jnp.zeros(pad, bool)])
-                bq_scan_state[chunk] = (rows_p, norms_p, live_p)
-            return bq_scan_state[chunk]
+                bq_scan_state[key] = (rows_p, norms_p, live_p)
+            return bq_scan_state[key]
 
         def bq_fn(qv, qn, qe, qf):
             # the [B, M] popcount matrix follows the same memory budget
             # as the f32 dot matrix; stream chunks past it
             if int(qv.shape[0]) * idx.cap * 4 > _EXACT_DOTS_BYTES:
                 chunk = _scan_chunk(int(qv.shape[0]))
-                rows_p, norms_p, live_p = _bq_scan_operands(chunk)
+                mxu = idx.cap * idx.rows.shape[1] * 32 * 2 <= _BQ_DECODE_BYTES
+                rows_p, norms_p, live_p = _bq_scan_operands(chunk, mxu)
                 return _exact_bq_scan(
-                    metric.name, idx.dims, int(k), chunk, interp,
+                    metric.name, idx.dims, int(k), chunk, interp, mxu,
                     idx.slot_to_id, rows_p, norms_p, live_p, qv, qn,
                 )
             return _exact_bq_matrix(

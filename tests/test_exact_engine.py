@@ -91,6 +91,7 @@ def test_exact_engine_empty_filter_and_dot():
         assert [i for i, _ in g] == [i for i, _ in o]
 
 
+@pytest.mark.parametrize("decode_budget", [0, 4 << 30])
 @pytest.mark.parametrize(
     "metric",
     [
@@ -99,16 +100,18 @@ def test_exact_engine_empty_filter_and_dot():
         "binary quantized cosine",
     ],
 )
-def test_exact_bq_scan_path_matches_matrix(metric, monkeypatch):
-    """The streaming BQ popcount path (large-corpus mode), forced by
-    shrinking the distance-matrix budget, must agree with the full
-    [B, M] popcount matrix exactly (both are exact popcounts)."""
+def test_exact_bq_scan_path_matches_matrix(metric, decode_budget, monkeypatch):
+    """Both streaming BQ kernels (popcount over packed words, and the
+    MXU ±1-bf16-decode matmul), forced by shrinking the distance-matrix
+    budget, must agree with the full [B, M] popcount matrix exactly —
+    hamming counts are exact integers on every path."""
     import arroy_tpu.search as search_mod
 
     r, q = _build(metric, m=700, d=24, seed=17)
     full = r.searcher(10, engine="exact")(q)
     monkeypatch.setattr(search_mod, "_EXACT_DOTS_BYTES", 1)  # force scan
     monkeypatch.setattr(search_mod, "_EXACT_SCAN_CHUNK", 128)
+    monkeypatch.setattr(search_mod, "_BQ_DECODE_BYTES", decode_budget)
     scanned = r.searcher(10, engine="exact")(q)
     for f, s in zip(full, scanned):
         assert [i for i, _ in f] == [i for i, _ in s]
