@@ -85,3 +85,32 @@ def test_device_footprint_accounting():
     est = DeviceIndex.estimate_nbytes(r.metric, 48, 600, 4)
     # the pre-build estimate brackets reality within ~5x either way
     assert est / 5 <= actual <= est * 5
+
+
+def test_rescore_matmul_scan_matches_exact():
+    """The chunked matmul re-score (big-corpus mode), forced by shrinking
+    the matrix budget, must rank like the exact gather re-score."""
+    import arroy_tpu.search as sm
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    x = random_vectors(600, 16, seed=9)
+    db, w, r = build_db(x, n_trees=3)
+    q = x[:12]
+    want = r.searcher(5, search_k=10**6, rescore="exact")(q)
+    try:
+        mp.setattr(sm, "_RESCORE_MATRIX_BYTES", 1)
+        mp.setattr(sm, "_EXACT_SCAN_CHUNK", 128)
+        assert (
+            sm.rescore_mode(r._state and r.metric or r.metric, 12, 1024, 600)
+            == "matmul_scan"
+        )
+        got = r.searcher(5, search_k=10**6)(q)
+    finally:
+        mp.undo()
+    for g, e in zip(got, want):
+        assert [i for i, _ in g] == [i for i, _ in e]
+        for (_, gd), (_, ed) in zip(g, e):
+            # matmul distances carry f32 cancellation noise near zero
+            # (documented caveat shared with _rescore_matmul)
+            assert gd == pytest.approx(ed, rel=1e-4, abs=5e-3)
