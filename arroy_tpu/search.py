@@ -529,13 +529,17 @@ def rescore_mode(metric, b: int, cap: int, m: int, want: str = "auto") -> str:
         return "exact"
     if want == "matmul":
         return "matmul"
-    # the [B, M] dot matrix must stay within ~1GB; past it the chunked
-    # variant streams the matrix and materializes only the bool mask
-    if b * m * 4 > _RESCORE_MATRIX_BYTES:
-        if b * cap >= m and b * m <= _RESCORE_MASK_BYTES:
-            return "matmul_scan"
+    if b * cap < m:
+        # candidate volume below the corpus: the per-candidate gather
+        # moves fewer bytes than streaming every item through the MXU
         return "exact"
-    return "matmul" if b * cap >= m and m <= _MATMUL_RESCORE_MAX_ITEMS else "exact"
+    if b * m * 4 <= _RESCORE_MATRIX_BYTES and m <= _MATMUL_RESCORE_MAX_ITEMS:
+        return "matmul"
+    if b * m <= _RESCORE_MASK_BYTES:
+        # past the [B, M] matrix budget: stream the matrix in chunks,
+        # materializing only the 1-byte candidate mask at full width
+        return "matmul_scan"
+    return "exact"
 
 
 # ---------------------------------------------------------------------------
