@@ -523,6 +523,12 @@ _RESCORE_MASK_BYTES = 512 << 20
 #: [B, M] f32 budget above which the re-score must stream chunks
 _RESCORE_MATRIX_BYTES = 1 << 30
 
+#: optimistic pop budget for the two-tier traversal: the mean observed
+#: split-pops-per-needed-leaf-pop is ~12 on clustered corpora; x32 plus
+#: slack makes the device-side fallback to the full budget rare
+_SMALL_POPS_MULT = 32
+_SMALL_POPS_PAD = 256
+
 
 def rescore_mode(metric, b: int, cap: int, m: int, want: str = "auto") -> str:
     if want == "exact" or metric.binary or metric.name == "manhattan":
@@ -701,6 +707,75 @@ def make_search_fn(
             rescore_scan_state[chunk] = (rows_p, aux)
         return rescore_scan_state[chunk]
 
+    # Two-tier traversal: the per-pop cost is O(q_cap) lane-wide selects,
+    # and the always-safe q_cap (every split poppable once) is 10-100x
+    # the pops a real query needs.  Run an optimistic small-queue pass
+    # sized from the leaf distribution; if any query truncated (pop cap
+    # hit before search_k candidates), a device-side lax.cond re-runs the
+    # batch through the full-capacity path — results stay bit-identical
+    # to the single-tier engine, with no host sync in the serving path.
+    pmax_small = min(
+        pmax, _SMALL_POPS_MULT * idx.max_leaf_pops(sk_exact) + _SMALL_POPS_PAD
+    )
+    two_tier = (not has_filter) and trav != "pallas" and pmax_small < pmax // 2
+    q_cap_small = t + min(pmax_small, idx.n_splits) + 1
+
+    def _traverse_x(qv, qf, pm, qc):
+        return _traverse_batch(
+            idx.metric,
+            int(sk),
+            int(pm),
+            int(idx.max_leaf),
+            bool(has_filter),
+            idx.node_table,
+            idx.normals,
+            idx.aux,
+            idx.leaf_off,
+            idx.leaf_cnt,
+            idx.leaf_items,
+            roots,
+            qv,
+            qf,
+            filter_words,
+            sk_dyn,
+            q_cap=int(qc),
+            l_cap=int(l_cap),
+        )
+
+    def _do_rescore(cand, qv, qn, qe):
+        mode = rescore_mode(
+            idx.metric, int(qv.shape[0]), int(cand.shape[1]), idx.n_items, rescore
+        )
+        if mode == "matmul_scan":
+            chunk = _scan_chunk(int(qv.shape[0]))
+            rows_p, aux_p = _rescore_scan_operands(chunk)
+            return _rescore_matmul_scan(
+                idx.metric,
+                idx.dims,
+                int(k),
+                chunk,
+                idx.slot_to_id,
+                rows_p,
+                aux_p,
+                cand,
+                qv,
+                qn,
+            )
+        impl = _rescore_matmul if mode == "matmul" else _rescore_batch
+        return impl(
+            idx.metric,
+            idx.dims,
+            int(k),
+            idx.rows,
+            idx.norms,
+            idx.extras,
+            idx.slot_to_id,
+            cand,
+            qv,
+            qn,
+            qe,
+        )
+
     def fn(qv, qn, qe, qf):
         if trav == "pallas":
             from .ops.pallas_traverse import traverse_pallas
@@ -721,72 +796,21 @@ def make_search_fn(
                 qf,
                 sk_dyn,
             )
-        else:
-            cand, _, _ = _traverse_batch(
-                idx.metric,
-                int(sk),
-                int(pmax),
-                int(idx.max_leaf),
-                bool(has_filter),
-                idx.node_table,
-                idx.normals,
-                idx.aux,
-                idx.leaf_off,
-                idx.leaf_cnt,
-                idx.leaf_items,
-                roots,
-                qv,
-                qf,
-                filter_words,
-                sk_dyn,
-                q_cap=int(q_cap),
-                l_cap=int(l_cap),
-            )
-        mode = rescore_mode(
-            idx.metric, int(qv.shape[0]), int(cand.shape[1]), idx.n_items, rescore
-        )
-        if mode == "matmul_scan":
-            chunk = _scan_chunk(int(qv.shape[0]))
-            rows_p, aux_p = _rescore_scan_operands(chunk)
-            return _rescore_matmul_scan(
-                idx.metric,
-                idx.dims,
-                int(k),
-                chunk,
-                idx.slot_to_id,
-                rows_p,
-                aux_p,
-                cand,
-                qv,
-                qn,
-            )
-        if mode == "matmul":
-            return _rescore_matmul(
-                idx.metric,
-                idx.dims,
-                int(k),
-                idx.rows,
-                idx.norms,
-                idx.extras,
-                idx.slot_to_id,
-                cand,
-                qv,
-                qn,
-                qe,
-            )
-        return _rescore_batch(
-            idx.metric,
-            idx.dims,
-            int(k),
-            idx.rows,
-            idx.norms,
-            idx.extras,
-            idx.slot_to_id,
-            cand,
-            qv,
-            qn,
-            qe,
-        )
+            return _do_rescore(cand, qv, qn, qe)
+        if two_tier:
+            cand_s, pops_s, ncand_s = _traverse_x(qv, qf, pmax_small, q_cap_small)
+            truncated = jnp.any((pops_s >= pmax_small) & (ncand_s < sk_dyn))
+
+            def big(_):
+                cand_b, _, _ = _traverse_x(qv, qf, pmax, q_cap)
+                return _do_rescore(cand_b, qv, qn, qe)
+
+            def small(_):
+                return _do_rescore(cand_s, qv, qn, qe)
+
+            return jax.lax.cond(truncated, big, small, None)
+        cand, _, _ = _traverse_x(qv, qf, pmax, q_cap)
+        return _do_rescore(cand, qv, qn, qe)
 
     return fn
 

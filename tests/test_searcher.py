@@ -114,3 +114,45 @@ def test_rescore_matmul_scan_matches_exact():
             # matmul distances carry f32 cancellation noise near zero
             # (documented caveat shared with _rescore_matmul)
             assert gd == pytest.approx(ed, rel=1e-4, abs=5e-3)
+
+
+def test_two_tier_traversal_fallback_matches():
+    """Force the optimistic small-queue pass to truncate on every query:
+    the device-side fallback must reproduce the single-tier results."""
+    import arroy_tpu.search as sm
+    import pytest
+
+    x = random_vectors(800, 16, seed=13)
+    db, w, r = build_db(x, n_trees=4)
+    q = x[:16]
+    want = r.searcher(5, search_k=400, rescore="exact")(q)
+    mp = pytest.MonkeyPatch()
+    try:
+        # pmax_small = min(pmax, 0*... + 1) = 1 -> truncates immediately
+        mp.setattr(sm, "_SMALL_POPS_MULT", 0)
+        mp.setattr(sm, "_SMALL_POPS_PAD", 1)
+        got = r.searcher(5, search_k=400, rescore="exact")(q)
+    finally:
+        mp.undo()
+    assert got == want
+
+
+def test_two_tier_traversal_small_path_matches():
+    """When the small queue suffices, results must equal the full path."""
+    import arroy_tpu.search as sm
+    import pytest
+
+    x = random_vectors(800, 16, seed=14)
+    db, w, r = build_db(x, n_trees=4)
+    q = x[:16]
+    want = r.searcher(5, search_k=60, rescore="exact")(q)
+    mp = pytest.MonkeyPatch()
+    try:
+        # generous small budget, but force two_tier on by making the full
+        # budget look huge relative to it
+        mp.setattr(sm, "_SMALL_POPS_MULT", 8)
+        mp.setattr(sm, "_SMALL_POPS_PAD", 64)
+        got = r.searcher(5, search_k=60, rescore="exact")(q)
+    finally:
+        mp.undo()
+    assert got == want
