@@ -144,13 +144,19 @@ def _traverse_impl(
     search_k_dyn,
     q_cap=None,
     l_cap=None,
+    expand=True,
 ):
     """Collect up to `search_k` candidate slots per query (-1 padded).
 
     ``q_cap``/``l_cap`` are optional tighter capacities computed by the
     caller from the index structure (split count / leaf-size
     distribution).  Capacity never changes results, only array widths —
-    the defaults are the always-safe worst case."""
+    the defaults are the always-safe worst case.  ``expand=False``
+    returns the raw [l_cap] leaf log instead of expanded candidate
+    slots (unfiltered path only) — the two-tier engine expands once
+    after selecting between its optimistic and fallback logs, since the
+    expansion's [cap, l_cap] compare matrices are the traversal's
+    biggest buffers."""
     t = roots.shape[0]
     s_rows = normals.shape[0]
     if q_cap is None:
@@ -234,6 +240,8 @@ def _traverse_impl(
             (pq_dist, pq_node, jnp.int32(t), log0, jnp.int32(0), jnp.int32(0)),
         )
 
+        if not expand:
+            return leaf_log, pops, n_cand
         # ---- expansion: leaf log -> candidate slots, one big gather ----
         return _expand_one_log(leaf_log, leaf_off, leaf_cnt, leaf_items, cap), pops, n_cand
 
@@ -309,7 +317,10 @@ def _traverse_impl(
 
 _traverse_batch = functools.partial(
     jax.jit,
-    static_argnames=("metric", "search_k", "pmax", "w", "has_filter", "q_cap", "l_cap"),
+    static_argnames=(
+        "metric", "search_k", "pmax", "w", "has_filter", "q_cap", "l_cap",
+        "expand",
+    ),
 )(_traverse_impl)
 
 
@@ -528,6 +539,65 @@ _RESCORE_MATRIX_BYTES = 1 << 30
 #: slack makes the device-side fallback to the full budget rare
 _SMALL_POPS_MULT = 32
 _SMALL_POPS_PAD = 256
+
+
+def _two_tier_impl(
+    metric, dims, k, sk, pmax_small, pmax, max_leaf, q_cap_small, q_cap,
+    l_cap, rmode, chunk,
+    node_table, normals, aux, leaf_off, leaf_cnt, leaf_items, roots,
+    filter_words, rows, norms, extras, slot_to_id, rows_p, aux_p,
+    qv, qn, qe, qf, sk_dyn,
+):
+    """Optimistic small-queue traversal with a device-side full-budget
+    fallback (see make_search_fn) — one compiled program so the lax.cond
+    branches trace once per shape, and every index array arrives as an
+    argument (a closure capture would bake GBs of constants into the
+    executable)."""
+
+    def trav(pm, qc):
+        return _traverse_impl(
+            metric, sk, pm, max_leaf, False, node_table, normals, aux,
+            leaf_off, leaf_cnt, leaf_items, roots, qv, qf, filter_words,
+            sk_dyn, q_cap=qc, l_cap=l_cap, expand=False,
+        )
+
+    def do_rescore(cand):
+        if rmode == "matmul_scan":
+            return _rescore_matmul_scan_impl(
+                metric, dims, k, chunk, slot_to_id, rows_p, aux_p, cand, qv, qn
+            )
+        if rmode == "matmul":
+            return _rescore_matmul_impl(
+                metric, dims, k, rows, norms, extras, slot_to_id, cand,
+                qv, qn, qe,
+            )
+        return _rescore_impl(
+            metric, dims, k, rows, norms, extras, slot_to_id, cand, qv, qn, qe
+        )
+
+    log_s, pops_s, ncand_s = trav(pmax_small, q_cap_small)
+    truncated = jnp.any((pops_s >= pmax_small) & (ncand_s < sk_dyn))
+    # the cond selects between the tiny [B, l_cap] leaf logs only; the
+    # expansion + re-score (the big buffers) run ONCE on the winner
+    log = jax.lax.cond(
+        truncated,
+        lambda _: trav(pmax, q_cap)[0],
+        lambda _: log_s,
+        None,
+    )
+    cand = jax.vmap(
+        lambda lg: _expand_one_log(lg, leaf_off, leaf_cnt, leaf_items, sk + max_leaf)
+    )(log)
+    return do_rescore(cand)
+
+
+_two_tier = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "dims", "k", "sk", "pmax_small", "pmax", "max_leaf",
+        "q_cap_small", "q_cap", "l_cap", "rmode", "chunk",
+    ),
+)(_two_tier_impl)
 
 
 def rescore_mode(metric, b: int, cap: int, m: int, want: str = "auto") -> str:
@@ -776,6 +846,11 @@ def make_search_fn(
             qe,
         )
 
+    #: candidate-buffer width (static: search_k bucket + widest leaf)
+    cap_c = int(sk) + int(idx.max_leaf)
+    dummy_rows = jnp.zeros((1, 1), idx.rows.dtype)
+    dummy_aux = jnp.zeros(1, jnp.float32)
+
     def fn(qv, qn, qe, qf):
         if trav == "pallas":
             from .ops.pallas_traverse import traverse_pallas
@@ -798,17 +873,46 @@ def make_search_fn(
             )
             return _do_rescore(cand, qv, qn, qe)
         if two_tier:
-            cand_s, pops_s, ncand_s = _traverse_x(qv, qf, pmax_small, q_cap_small)
-            truncated = jnp.any((pops_s >= pmax_small) & (ncand_s < sk_dyn))
-
-            def big(_):
-                cand_b, _, _ = _traverse_x(qv, qf, pmax, q_cap)
-                return _do_rescore(cand_b, qv, qn, qe)
-
-            def small(_):
-                return _do_rescore(cand_s, qv, qn, qe)
-
-            return jax.lax.cond(truncated, big, small, None)
+            b = int(qv.shape[0])
+            rmode = rescore_mode(idx.metric, b, cap_c, idx.n_items, rescore)
+            if rmode == "matmul_scan":
+                chunk = _scan_chunk(b)
+                rows_p, aux_p = _rescore_scan_operands(chunk)
+            else:
+                chunk, rows_p, aux_p = 0, dummy_rows, dummy_aux
+            return _two_tier(
+                idx.metric,
+                idx.dims,
+                int(k),
+                int(sk),
+                int(pmax_small),
+                int(pmax),
+                int(idx.max_leaf),
+                int(q_cap_small),
+                int(q_cap),
+                int(l_cap),
+                rmode,
+                chunk,
+                idx.node_table,
+                idx.normals,
+                idx.aux,
+                idx.leaf_off,
+                idx.leaf_cnt,
+                idx.leaf_items,
+                roots,
+                filter_words,
+                idx.rows,
+                idx.norms,
+                idx.extras,
+                idx.slot_to_id,
+                rows_p,
+                aux_p,
+                qv,
+                qn,
+                qe,
+                qf,
+                sk_dyn,
+            )
         cand, _, _ = _traverse_x(qv, qf, pmax, q_cap)
         return _do_rescore(cand, qv, qn, qe)
 
