@@ -445,18 +445,24 @@ _rescore_matmul = functools.partial(
 
 
 def _rescore_matmul_scan_impl(
-    metric, dims, k, chunk, slot_to_id, rows_p, aux_p, cand, qv, qn,
+    metric, dims, k, chunk, slot_to_id, rows_p, aux_p, cand, qv, qn, qe,
     normalize=True,
 ):
     """Chunked MXU re-score for corpora past the [B, M] matrix budget.
 
     Same candidate-mask semantics as `_rescore_matmul` (scatter → dedup
     for free) but the distance matrix is streamed [B, chunk] at a time
-    with a carried top-k, so only the bool mask (1 byte/item/query) is
+    with a carried top-c, so only the bool mask (1 byte/item/query) is
     ever materialized at full width.  At 1M x 768, B=256, sk=20k the
     per-candidate gather re-score measured 563 ms/batch (gathers run
     far below HBM bandwidth); streaming the whole corpus through the
     MXU costs ~the exact engine's 25-30 ms.
+
+    The carried winners (c = 8k like the bf16 exact engine's select
+    stage) get a final per-pair exact re-score: matmul distances carry
+    f32 cancellation noise that measurably dented recall on tie-heavy
+    corpora (0.994 → 0.966 at 1.18M x 100 cosine, sk=50k) — the exact
+    pass restores the gather re-score's values at negligible cost.
     """
     b, cap = cand.shape
     m = rows_p.shape[0]
@@ -466,7 +472,7 @@ def _rescore_matmul_scan_impl(
     mask = mask.at[jnp.arange(b, dtype=jnp.int32)[:, None], slots_c].max(valid0)
     q2 = jnp.sum(qv * qv, axis=1)
     n_chunks = m // chunk
-    kk = min(k, chunk)
+    kk = min(max(_next_pow2(8 * k), 64), chunk)
 
     def body(carry, i):
         best_d, best_i = carry
@@ -500,16 +506,26 @@ def _rescore_matmul_scan_impl(
     (best_d, best_i), _ = jax.lax.scan(
         body, best0, jnp.arange(n_chunks, dtype=jnp.int32)
     )
-    out_ids = slot_to_id[jnp.minimum(best_i, slot_to_id.shape[0] - 1)]
-    out_d = best_d
+    # final exact pass over the c winners (per-pair reference formulas)
+    x = rows_p[best_i]
+    xn = aux_p[best_i] if metric.name == "cosine" else jnp.zeros_like(best_d)
+    d_exact = metric.built_distance(
+        qv[:, None, :], qn[:, None], qe[:, None], x, xn, jnp.zeros_like(best_d)
+    )
+    d_exact = jnp.where(best_d < _INF, d_exact, _INF)
+    kf = min(k, kk)
+    neg, pos = jax.lax.top_k(-d_exact, kf)
+    out_d = -neg
+    cand_f = jnp.take_along_axis(best_i, pos, axis=1)
+    out_ids = slot_to_id[jnp.minimum(cand_f, slot_to_id.shape[0] - 1)]
     if normalize:
         out_d = jnp.where(
             out_d < _INF,
             metric.normalized_distance(out_d, dims),
             jnp.float32(jnp.nan),
         )
-    if kk < k:
-        pad = k - kk
+    if kf < k:
+        pad = k - kf
         out_ids = jnp.concatenate(
             [out_ids, jnp.zeros((b, pad), out_ids.dtype)], axis=1
         )
@@ -564,7 +580,8 @@ def _two_tier_impl(
     def do_rescore(cand):
         if rmode == "matmul_scan":
             return _rescore_matmul_scan_impl(
-                metric, dims, k, chunk, slot_to_id, rows_p, aux_p, cand, qv, qn
+                metric, dims, k, chunk, slot_to_id, rows_p, aux_p, cand,
+                qv, qn, qe,
             )
         if rmode == "matmul":
             return _rescore_matmul_impl(
@@ -830,6 +847,7 @@ def make_search_fn(
                 cand,
                 qv,
                 qn,
+                qe,
             )
         impl = _rescore_matmul if mode == "matmul" else _rescore_batch
         return impl(
