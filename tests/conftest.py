@@ -29,3 +29,20 @@ try:
 except Exception:
     pass
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+import pytest
+
+_TEST_COUNT = [0]
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    """Release compiled executables every ~30 tests: a full-suite run
+    accumulates hundreds of XLA CPU programs in one process and the
+    compiler segfaults near test ~180 (reproducible at the same spot,
+    never in isolated runs).  Clearing the jit cache periodically keeps
+    the process under that threshold at the cost of a few re-compiles."""
+    yield
+    _TEST_COUNT[0] += 1
+    if _TEST_COUNT[0] % 30 == 0:
+        jax.clear_caches()
