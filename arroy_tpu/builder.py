@@ -483,36 +483,64 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             )
             row_of_seg[staged_idx] = base + np.arange(len(staged_idx))
 
-        new_starts, new_lens, new_nodes, new_split = [], [], [], []
-        indexed_now = 0
-        for i in range(g):
-            s, ln, nid = int(seg_start[i]), int(seg_len[i]), int(seg_node[i])
-            if not seg_split[i]:
-                new_starts.append(s)
-                new_lens.append(ln)
-                new_nodes.append(nid)
-                new_split.append(False)
-                continue
-            lc = int(left_cnt[i])
-            l_id = ctx.alloc.next()
-            r_id = ctx.alloc.next()
-            if none_mask[i]:
-                ctx.forest.put_split(nid, l_id, r_id, None)
-            else:
-                ctx.forest.put_split(nid, l_id, r_id, int(row_of_seg[i]))
-            for cid, cs, cl in ((l_id, s, lc), (r_id, s + lc, ln - lc)):
-                splits = cl > ctx.split_after
-                new_starts.append(cs)
-                new_lens.append(cl)
-                new_nodes.append(cid)
-                new_split.append(splits)
-                if not splits:
-                    pending_leaves.append((cid, cs, cs + cl))
-                    indexed_now += cl
-        seg_start = np.asarray(new_starts, dtype=np.int32)
-        seg_len = np.asarray(new_lens, dtype=np.int32)
-        seg_node = np.asarray(new_nodes, dtype=np.int64)
-        seg_split = np.asarray(new_split, dtype=bool)
+        # vectorized frontier update (the scalar per-segment loop was
+        # host-bound at 1M+ scale: up to 65k segments x ~35 levels of
+        # Python).  Ordering, allocation sequence, and pending-leaf
+        # content are byte-identical with the scalar formulation (the
+        # golden-build tests pin this).
+        split_mask = seg_split[:g]
+        split_idx = np.nonzero(split_mask)[0]
+        ns = len(split_idx)
+        ids = ctx.alloc.next_many(2 * ns)  # [l0, r0, l1, r1, ...]
+        l_ids, r_ids = ids[0::2], ids[1::2]
+        s_arr = seg_start[split_idx].astype(np.int64)
+        ln_arr = seg_len[split_idx].astype(np.int64)
+        lc_arr = left_cnt[split_idx].astype(np.int64)
+        ctx.forest.put_splits(
+            seg_node[split_idx], l_ids, r_ids, row_of_seg[split_idx]
+        )
+
+        ch_start = np.empty(2 * ns, np.int64)
+        ch_start[0::2] = s_arr
+        ch_start[1::2] = s_arr + lc_arr
+        ch_len = np.empty(2 * ns, np.int64)
+        ch_len[0::2] = lc_arr
+        ch_len[1::2] = ln_arr - lc_arr
+        ch_split = ch_len > ctx.split_after
+
+        counts = np.where(split_mask, 2, 1)
+        pos = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        total_out = int(counts.sum())
+        new_start = np.empty(total_out, np.int64)
+        new_len = np.empty(total_out, np.int64)
+        new_node = np.empty(total_out, np.int64)
+        new_split = np.zeros(total_out, bool)
+        keep = ~split_mask
+        new_start[pos[keep]] = seg_start[:g][keep]
+        new_len[pos[keep]] = seg_len[:g][keep]
+        new_node[pos[keep]] = seg_node[:g][keep]
+        ppos = pos[split_idx]
+        new_start[ppos] = ch_start[0::2]
+        new_start[ppos + 1] = ch_start[1::2]
+        new_len[ppos] = ch_len[0::2]
+        new_len[ppos + 1] = ch_len[1::2]
+        new_node[ppos] = l_ids
+        new_node[ppos + 1] = r_ids
+        new_split[ppos] = ch_split[0::2]
+        new_split[ppos + 1] = ch_split[1::2]
+
+        leaf_children = np.nonzero(~ch_split)[0]
+        ch_node = ids
+        for j in leaf_children.tolist():
+            pending_leaves.append(
+                (int(ch_node[j]), int(ch_start[j]), int(ch_start[j] + ch_len[j]))
+            )
+        indexed_now = int(ch_len[leaf_children].sum())
+
+        seg_start = new_start.astype(np.int32)
+        seg_len = new_len.astype(np.int32)
+        seg_node = new_node
+        seg_split = new_split
         level += 1
         if indexed_now:
             ctx.on_items_indexed(indexed_now)

@@ -57,6 +57,22 @@ class NodeIdAllocator:
         self._next += 1
         return nid
 
+    def next_many(self, n: int) -> np.ndarray:
+        """Allocate `n` ids — the exact sequence `n` next() calls would
+        return (holes first, then the bump counter), so bulk callers stay
+        byte-identical with the scalar path."""
+        out = np.empty(n, np.int64)
+        k = min(len(self._available), n)
+        for j in range(k):
+            out[j] = self._available.pop()
+        rest = n - k
+        if rest:
+            if self._next + rest - 1 > 0x7FFFFFFF:
+                raise DatabaseFull()
+            out[k:] = np.arange(self._next, self._next + rest, dtype=np.int64)
+            self._next += rest
+        return out
+
 
 @dataclass
 class Forest:
@@ -130,6 +146,30 @@ class Forest:
             self.ptr[node_id] = normal_row
         self.left[node_id] = left
         self.right[node_id] = right
+
+    def put_splits(
+        self,
+        node_ids: np.ndarray,
+        lefts: np.ndarray,
+        rights: np.ndarray,
+        normal_rows: np.ndarray,
+    ) -> None:
+        """Vectorized put_split; ``normal_rows < 0`` means a None normal
+        (random-side split).  Equivalent to calling put_split per row."""
+        node_ids = np.asarray(node_ids, np.int64)
+        if not len(node_ids):
+            return
+        self._ensure(int(node_ids.max()))
+        for nid in node_ids.tolist():
+            self.leaves.pop(nid, None)
+        rows = np.asarray(normal_rows, np.int64)
+        none = rows < 0
+        self.kind[node_ids] = np.where(
+            none, KIND_SPLIT_NONE, KIND_SPLIT
+        ).astype(self.kind.dtype)
+        self.ptr[node_ids] = np.where(none, 0, rows).astype(self.ptr.dtype)
+        self.left[node_ids] = np.asarray(lefts, self.left.dtype)
+        self.right[node_ids] = np.asarray(rights, self.right.dtype)
 
     def remove(self, node_id: int) -> None:
         if node_id < self.kind.shape[0]:
