@@ -187,8 +187,16 @@ class Searcher:
       just an oracle.  ``precision="bf16"`` (default "auto") selects
       candidates with a half-rate-beating bf16 matmul and re-scores them
       in f32.
-    - ``"auto"`` — exact while the corpus is small enough that the dot
-      matrix wins (ARROY_EXACT_MAX_ITEMS, default 262144), else forest.
+    - ``"auto"`` (the default) — the measured-fastest engine at the
+      target recall.  On-chip measurements at every scale tried (100k,
+      262k, 1M × 768-d; 1.18M × 100-d — see STATUS.md) show the
+      streaming exact engine beating the forest traversal at equal
+      recall by 4-100×: the MXU scores the whole corpus faster than a
+      traversal can gather+re-score `search_k` candidates, so within
+      one chip's HBM there is no measured crossover.  ``auto``
+      therefore serves exact whenever the metric supports it, and the
+      forest only for custom metrics (or when the operator forces a
+      cutoff via ``ARROY_EXACT_MAX_ITEMS``).
     """
 
     def __init__(
@@ -197,13 +205,13 @@ class Searcher:
         qb: QueryBuilder,
         rescore: str = "auto",
         traversal: str = "auto",
-        engine: str = "forest",
+        engine: str = "auto",
         precision: str = "auto",
+        multipop="auto",
     ):
         import os
 
         from .search import (
-            _EXACT_ENGINE_MAX_ITEMS,
             exact_engine_supported,
             make_exact_fn,
             make_search_fn,
@@ -223,14 +231,17 @@ class Searcher:
                 else np.empty(0, np.int64)
             )
         if engine == "auto":
-            limit = int(
-                os.environ.get("ARROY_EXACT_MAX_ITEMS", _EXACT_ENGINE_MAX_ITEMS)
-            )
-            engine = (
-                "exact"
-                if exact_engine_supported(dev.metric) and dev.n_items <= limit
-                else "forest"
-            )
+            # Measured cost model (STATUS.md crossover table): streaming
+            # exact wins at every on-chip scale tried, so auto = exact
+            # whenever the metric supports it.  ARROY_EXACT_MAX_ITEMS is
+            # an operator override to force the forest past a size.
+            limit = os.environ.get("ARROY_EXACT_MAX_ITEMS")
+            if not exact_engine_supported(dev.metric) or (
+                limit is not None and dev.n_items > int(limit)
+            ):
+                engine = "forest"
+            else:
+                engine = "exact"
         self.engine = engine
         if engine == "exact":
             self.device_fn = make_exact_fn(
@@ -244,6 +255,7 @@ class Searcher:
                 filter_slots,
                 rescore=rescore,
                 traversal=traversal,
+                multipop=multipop,
             )
         self._dev = dev
 
@@ -344,8 +356,9 @@ class Reader:
         candidates=None,
         rescore: str = "auto",
         traversal: str = "auto",
-        engine: str = "forest",
+        engine: str = "auto",
         precision: str = "auto",
+        multipop="auto",
     ) -> "Searcher":
         """A bound, compiled serving handle (the TPU-native hot path).
 
@@ -353,10 +366,18 @@ class Reader:
         device: `device_fn(qv, qn, qe, qf)` takes and returns device
         arrays so back-to-back calls pipeline without host round trips.
 
-        ``engine="exact"`` serves MXU brute force (recall 1.0; the
-        fastest option up to a few hundred thousand items on TPU);
-        ``"auto"`` picks exact vs forest by corpus size; the default
-        ``"forest"`` is the reference-semantic search_k traversal.
+        The default ``engine="auto"`` serves the measured-fastest
+        engine — the MXU exact path (single-matmul up to the [B, M]
+        budget, streaming chunked scan past it) whenever the metric
+        supports it; see `Searcher` for the measured basis.
+        ``engine="forest"`` forces the reference-semantic search_k
+        traversal; ``engine="exact"`` forces brute force.
+
+        ``multipop`` (forest engine): pops per traversal-loop iteration.
+        1 keeps the reference's strict best-first order; P>1 runs ~P×
+        fewer serial loop steps with a slightly different candidate
+        stream (measured recall guard in tests).  "auto" = 1 below 262k
+        items, 16 above.
         """
         qb = QueryBuilder(self, count)
         if search_k is not None:
@@ -367,7 +388,7 @@ class Reader:
             qb.candidates(candidates)
         return Searcher(
             self, qb, rescore=rescore, traversal=traversal,
-            engine=engine, precision=precision,
+            engine=engine, precision=precision, multipop=multipop,
         )
 
     # -- exact search oracle --------------------------------------------

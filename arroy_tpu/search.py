@@ -324,6 +324,153 @@ _traverse_batch = functools.partial(
 )(_traverse_impl)
 
 
+def _traverse_multipop_impl(
+    metric,
+    search_k,
+    pmax,
+    w,
+    P,
+    node_table,
+    normals,
+    aux,
+    leaf_off,
+    leaf_cnt,
+    leaf_items,
+    roots,
+    qv,
+    qf,
+    search_k_dyn,
+    q_cap=None,
+    l_cap=None,
+    expand=True,
+):
+    """Multi-pop traversal: pop the best `P` queue entries per iteration.
+
+    A documented deviation from the reference's strict best-first order
+    (reference: src/reader.rs:345-372): the children of pop #1 cannot be
+    examined before pops #2..P of the same iteration, so the candidate
+    stream differs slightly from the global-heap order at equal
+    `search_k`.  The payoff is breaking the loop's serial-latency bound:
+    at 1M+ items a query needs hundreds of pops and each iteration costs
+    ~fixed latency regardless of width, so P pops per iteration is ~P×
+    fewer serial steps.  Recall impact is measured, small, and
+    compensated by the search_k knob itself (PARITY.md deviation;
+    `multipop=1` keeps the bit-exact reference order).
+
+    Unfiltered only — filtered searches route to the exact engine.
+    """
+    t = roots.shape[0]
+    s_rows = normals.shape[0]
+    if q_cap is None:
+        q_cap = t + pmax
+    q_cap = max(q_cap, P)
+    cap = search_k + w
+    if l_cap is None:
+        l_cap = min(search_k, pmax) + 1
+
+    q_iota = jnp.arange(q_cap, dtype=jnp.int32)
+    l_iota = jnp.arange(l_cap, dtype=jnp.int32)
+    margins_all = metric.margin_matrix(normals, aux, qv, qf)  # [B, S]
+
+    def one(qv1, qf1, margins1):
+        pq_dist = jnp.where(q_iota < t, _INF, -_INF)
+        pq_node = jnp.where(q_iota < t, roots[jnp.minimum(q_iota, t - 1)], 0)
+
+        def cond(st):
+            _, _, _, _, n_cand, pops = st
+            return (n_cand < search_k_dyn) & (pops < pmax)
+
+        def body(st):
+            pq_dist, pq_node, n_pushed, leaf_log, n_cand, pops = st
+            n_leaf = leaf_log[l_cap - 1]
+            vals, idxs = jax.lax.top_k(pq_dist, P)  # [P] (distinct lanes)
+            alive = vals > -_INF
+            nids = pq_node[idxs]
+            rows = node_table[nids]  # [P, 8]
+            knd = rows[:, 0]
+            p = rows[:, 3]
+            is_leaf = alive & (knd == KIND_LEAF)
+            is_split = alive & ~is_leaf & (knd != KIND_FREE)
+
+            # --- leaf lanes: log each non-empty window ---
+            cnts = jnp.where(is_leaf, rows[:, 5], 0)
+            log_lane = is_leaf & (cnts > 0)
+            lpos = n_leaf + jnp.cumsum(log_lane.astype(jnp.int32)) - log_lane
+            write = log_lane & (lpos < l_cap - 1)
+            eq_l = (l_iota[:, None] == lpos[None, :]) & write[None, :]
+            hit_l = jnp.any(eq_l, axis=1)
+            sel_l = jnp.argmax(eq_l, axis=1)
+            leaf_log = jnp.where(hit_l, p[sel_l], leaf_log)
+            n_leaf2 = n_leaf + jnp.sum(write.astype(jnp.int32))
+            leaf_log = jnp.where(l_iota == l_cap - 1, n_leaf2, leaf_log)
+            n_cand = n_cand + jnp.sum(cnts)
+
+            # --- split lanes: one margin gather for all P pops ---
+            margin = jnp.where(
+                knd == KIND_SPLIT_NONE, 0.0, margins1[jnp.minimum(p, s_rows - 1)]
+            )
+            dl = jnp.minimum(vals, -margin)
+            dr = jnp.minimum(vals, margin)
+            # popped lanes: split -> left child at dl, else drain to -inf
+            pop_val = jnp.where(is_split, dl, -_INF)
+            eq_q = q_iota[:, None] == idxs[None, :]  # [q_cap, P]
+            hit_q = jnp.any(eq_q, axis=1)
+            sel_q = jnp.argmax(eq_q, axis=1)
+            pq_dist = jnp.where(hit_q, pop_val[sel_q], pq_dist)
+            pq_node = jnp.where(hit_q & is_split[sel_q], rows[sel_q, 1], pq_node)
+            # pushes: right children appended at n_pushed + prefix positions
+            ppos = n_pushed + jnp.cumsum(is_split.astype(jnp.int32)) - is_split
+            eq_p = (q_iota[:, None] == ppos[None, :]) & is_split[None, :]
+            hit_p = jnp.any(eq_p, axis=1)
+            sel_p = jnp.argmax(eq_p, axis=1)
+            pq_dist = jnp.where(hit_p, dr[sel_p], pq_dist)
+            pq_node = jnp.where(hit_p, rows[sel_p, 2], pq_node)
+            n_pushed = n_pushed + jnp.sum(is_split.astype(jnp.int32))
+
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            pops = jnp.where(n_alive > 0, pops + n_alive, jnp.int32(pmax))
+            return (pq_dist, pq_node, n_pushed, leaf_log, n_cand, pops)
+
+        log0 = jnp.zeros(l_cap, jnp.int32)
+        _, _, _, leaf_log, n_cand, pops = jax.lax.while_loop(
+            cond,
+            body,
+            (pq_dist, pq_node, jnp.int32(t), log0, jnp.int32(0), jnp.int32(0)),
+        )
+        if not expand:
+            return leaf_log, pops, n_cand
+        return (
+            _expand_one_log(leaf_log, leaf_off, leaf_cnt, leaf_items, cap),
+            pops,
+            n_cand,
+        )
+
+    return jax.vmap(one)(qv, qf, margins_all)
+
+
+_traverse_multipop = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "search_k", "pmax", "w", "P", "q_cap", "l_cap", "expand",
+    ),
+)(_traverse_multipop_impl)
+
+#: multipop="auto" resolution: corpora below this stay strict best-first
+#: (bit-exact reference order); above it the pop loop is latency-bound
+#: and P-wide pops win (override: ARROY_MULTIPOP=<P>|1)
+_MULTIPOP_MIN_ITEMS = 262_144
+_MULTIPOP_P = 16
+
+
+def resolve_multipop(n_items: int, want="auto") -> int:
+    if want is None or want == "auto":
+        env = os.environ.get("ARROY_MULTIPOP")
+        if env is not None:
+            return max(int(env), 1)
+        return _MULTIPOP_P if n_items > _MULTIPOP_MIN_ITEMS else 1
+    return max(int(want), 1)
+
+
 # ---------------------------------------------------------------------------
 # stage 2: re-score + top-k
 # ---------------------------------------------------------------------------
@@ -559,7 +706,7 @@ _SMALL_POPS_PAD = 256
 
 def _two_tier_impl(
     metric, dims, k, sk, pmax_small, pmax, max_leaf, q_cap_small, q_cap,
-    l_cap, rmode, chunk,
+    l_cap, rmode, chunk, P,
     node_table, normals, aux, leaf_off, leaf_cnt, leaf_items, roots,
     filter_words, rows, norms, extras, slot_to_id, rows_p, aux_p,
     qv, qn, qe, qf, sk_dyn,
@@ -571,6 +718,12 @@ def _two_tier_impl(
     executable)."""
 
     def trav(pm, qc):
+        if P > 1:
+            return _traverse_multipop_impl(
+                metric, sk, pm, max_leaf, P, node_table, normals, aux,
+                leaf_off, leaf_cnt, leaf_items, roots, qv, qf, sk_dyn,
+                q_cap=qc, l_cap=l_cap, expand=False,
+            )
         return _traverse_impl(
             metric, sk, pm, max_leaf, False, node_table, normals, aux,
             leaf_off, leaf_cnt, leaf_items, roots, qv, qf, filter_words,
@@ -612,7 +765,7 @@ _two_tier = functools.partial(
     jax.jit,
     static_argnames=(
         "metric", "dims", "k", "sk", "pmax_small", "pmax", "max_leaf",
-        "q_cap_small", "q_cap", "l_cap", "rmode", "chunk",
+        "q_cap_small", "q_cap", "l_cap", "rmode", "chunk", "P",
     ),
 )(_two_tier_impl)
 
@@ -674,6 +827,7 @@ def make_search_fn(
     filter_slots: np.ndarray | None = None,
     rescore: str = "exact",
     traversal: str = "auto",
+    multipop="auto",
 ):
     """Return a device-resident search callable (the serving hot path).
 
@@ -681,6 +835,12 @@ def make_search_fn(
     arrays and returns device arrays — no host synchronization, so calls
     pipeline back-to-back.  This is how a production server should drive
     the engine; the ``QueryBuilder`` path adds host conversions per call.
+
+    ``multipop``: pops per traversal iteration.  1 = the reference's
+    strict best-first order; P>1 batches P pops per step (the serial
+    latency of the pop loop drops ~P×, the candidate stream deviates
+    slightly — see `_traverse_multipop_impl`).  "auto" = 1 below 262k
+    items, 16 above (ARROY_MULTIPOP overrides).
     """
     if idx.n_items == 0 or not idx.roots:
         def empty_fn(qv, qn, qe, qf):
@@ -696,17 +856,15 @@ def make_search_fn(
     csr_total = max(int(idx.leaf_items.shape[0]) - idx.max_leaf, 1)
     sk_exact = min(max(search_k, count), csr_total)
 
-    if (
-        has_filter
-        and exact_engine_supported(idx.metric)
-        and idx.n_items <= _EXACT_ENGINE_MAX_ITEMS
-    ):
-        # Filters on small/medium corpora: serve exact over the masked
-        # distance matrix.  The traversal's filtered loop pays a window
-        # compaction per pop and needs a 1/selectivity pop budget — on
-        # TPU the masked matmul is 2-3 orders of magnitude faster at 10%
-        # selectivity and recall 1.0 at every selectivity (the roaring-∩
-        # role, reference: src/reader.rs:354-360).
+    if has_filter and exact_engine_supported(idx.metric):
+        # Filters at ANY corpus size: serve exact over the masked
+        # distance matrix (the streaming chunked scan consumes the same
+        # `live` mask past the [B, M] budget, so this holds for corpora
+        # of any HBM-resident size).  The traversal's filtered loop pays
+        # a window compaction per pop and needs a 1/selectivity pop
+        # budget — on TPU the masked matmul is 2-3 orders of magnitude
+        # faster at 10% selectivity and recall 1.0 at every selectivity
+        # (the roaring-∩ role, reference: src/reader.rs:354-360).
         return make_exact_fn(idx, count, filter_slots)
 
     if has_filter and len(filter_slots) <= sk_exact:
@@ -758,14 +916,20 @@ def make_search_fn(
     k = max(min(_next_pow2(count), sk + idx.max_leaf), 1)
     pmax = pops_budget(idx, sk_exact, False, selectivity)
     t = max(len(idx.roots), 1)
+    # multi-pop only applies to the unfiltered XLA loop (filters and the
+    # Pallas kernel keep the strict single-pop order)
+    P = 1 if has_filter else resolve_multipop(idx.n_items, multipop)
     # tight widths from the index structure (capacity only, results
     # unchanged): pushes happen once per split pop; non-empty leaf logs
-    # are bounded by the smallest-leaves-first worst case
-    q_cap = t + min(pmax, idx.n_splits) + 1
-    l_cap = min(min(sk, pmax), idx.max_leaf_pops(sk)) + 1
+    # are bounded by the smallest-leaves-first worst case.  P-wide pops
+    # can overshoot both by up to P-1 entries before the loop stops.
+    q_cap = t + min(pmax, idx.n_splits) + 1 + max(P - 1, 0)
+    l_cap = min(min(sk, pmax), idx.max_leaf_pops(sk)) + 1 + max(P - 1, 0)
     roots = jnp.asarray(np.asarray(idx.roots, np.int32))
     sk_dyn = jnp.int32(sk_exact)
     trav = traversal_mode(idx, has_filter, pmax, int(sk), traversal)
+    if trav == "pallas":
+        P = 1
     if trav == "pallas":
         from .ops.pallas_traverse import make_init_node
 
@@ -805,9 +969,29 @@ def make_search_fn(
         pmax, _SMALL_POPS_MULT * idx.max_leaf_pops(sk_exact) + _SMALL_POPS_PAD
     )
     two_tier = (not has_filter) and trav != "pallas" and pmax_small < pmax // 2
-    q_cap_small = t + min(pmax_small, idx.n_splits) + 1
+    q_cap_small = t + min(pmax_small, idx.n_splits) + 1 + max(P - 1, 0)
 
     def _traverse_x(qv, qf, pm, qc):
+        if P > 1:
+            return _traverse_multipop(
+                idx.metric,
+                int(sk),
+                int(pm),
+                int(idx.max_leaf),
+                int(P),
+                idx.node_table,
+                idx.normals,
+                idx.aux,
+                idx.leaf_off,
+                idx.leaf_cnt,
+                idx.leaf_items,
+                roots,
+                qv,
+                qf,
+                sk_dyn,
+                q_cap=int(qc),
+                l_cap=int(l_cap),
+            )
         return _traverse_batch(
             idx.metric,
             int(sk),
@@ -911,6 +1095,7 @@ def make_search_fn(
                 int(l_cap),
                 rmode,
                 chunk,
+                int(P),
                 idx.node_table,
                 idx.normals,
                 idx.aux,
@@ -994,15 +1179,15 @@ def search_batch(
 #
 # On the MXU, scoring every item is one [B,d]x[d,M] matmul: at 100k x 768
 # that is ~39 GFLOP per 256-query batch, i.e. ~1 ms — faster than any
-# traversal, at recall 1.0.  The forest only wins past the scale where
-# the dot matrix stops fitting.  A production deployment should treat
-# exact as the recall-1.0 endpoint of the reference's search_k knob
-# (reference: src/reader.rs:330-335) and serve it whenever it is also the
-# fastest option; `Searcher(engine=...)` exposes exactly that choice.
-
-#: past this corpus size the [B, M] dot matrix / gather traffic makes the
-#: forest the better engine (override: ARROY_EXACT_MAX_ITEMS)
-_EXACT_ENGINE_MAX_ITEMS = 262_144
+# traversal, at recall 1.0.  Past the [B, M] dot-matrix budget the scan
+# streams item chunks with a carried top-k, and on-chip measurements at
+# every scale tried (100k/262k/1M x 768, 1.18M x 100 — STATUS.md
+# crossover table) show the streamed exact engine still beating the
+# forest at equal recall: within one chip's HBM there is no measured
+# crossover.  A production deployment should treat exact as the
+# recall-1.0 endpoint of the reference's search_k knob (reference:
+# src/reader.rs:330-335); `Searcher(engine=...)` exposes the choice and
+# `engine="auto"` (the default) applies it.
 
 
 def _exact_f32_impl(

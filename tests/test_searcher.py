@@ -156,3 +156,44 @@ def test_two_tier_traversal_small_path_matches():
     finally:
         mp.undo()
     assert got == want
+
+
+def test_multipop_traversal_recall_guard():
+    """multipop=P deviates from strict best-first order (PARITY.md
+    deviation): at equal search_k its recall must stay within a small
+    delta of the single-pop reference order."""
+    x = random_vectors(3000, 16, seed=21)
+    db, w, r = build_db(x, n_trees=5)
+    q = x[:32]
+    oracle = r.exact_by_vectors(q, 10)
+    o_sets = [set(i for i, _ in o) for o in oracle]
+
+    def rec(got):
+        return sum(
+            len({i for i, _ in g} & s) for g, s in zip(got, o_sets)
+        ) / (len(q) * 10)
+
+    r1 = rec(r.searcher(10, search_k=600, engine="forest", multipop=1)(q))
+    r8 = rec(r.searcher(10, search_k=600, engine="forest", multipop=8)(q))
+    assert r8 >= r1 - 0.05, (r8, r1)
+
+
+def test_multipop_exhaustive_matches_single_pop():
+    # search_k >= n_items: both pop orders collect every item, so the
+    # re-scored results must be identical
+    x = random_vectors(500, 8, seed=22)
+    db, w, r = build_db(x, n_trees=3)
+    q = x[:8]
+    a = r.searcher(5, search_k=10**6, engine="forest", multipop=1, rescore="exact")(q)
+    b = r.searcher(5, search_k=10**6, engine="forest", multipop=8, rescore="exact")(q)
+    assert a == b
+
+
+def test_multipop_auto_resolution(monkeypatch):
+    from arroy_tpu.search import resolve_multipop
+
+    assert resolve_multipop(1000, "auto") == 1
+    assert resolve_multipop(300_000, "auto") == 16
+    assert resolve_multipop(300_000, 4) == 4
+    monkeypatch.setenv("ARROY_MULTIPOP", "2")
+    assert resolve_multipop(1000, "auto") == 2
