@@ -621,8 +621,9 @@ def _rescore_matmul_scan_impl(
     n_chunks = m // chunk
     kk = min(max(_next_pow2(8 * k), 64), chunk)
 
-    def body(carry, i):
-        best_d, best_i = carry
+    def body(_, i):
+        # stacked per-chunk winners + one final merge (no carried merge
+        # on the scan's critical path; same restructure as _exact_scan)
         base = i * chunk
         rc = jax.lax.dynamic_slice(rows_p, (base, 0), (chunk, rows_p.shape[1]))
         ac = jax.lax.dynamic_slice(aux_p, (base,), (chunk,))
@@ -641,18 +642,16 @@ def _rescore_matmul_scan_impl(
         mc = jax.lax.dynamic_slice(mask, (0, base), (b, chunk))
         d = jnp.where(mc, d, _INF)
         neg, idx_c = jax.lax.top_k(-d, kk)
-        cat_d = jnp.concatenate([best_d, -neg], axis=1)
-        cat_i = jnp.concatenate([best_i, idx_c + base], axis=1)
-        negs, pos = jax.lax.top_k(-cat_d, kk)
-        return (-negs, jnp.take_along_axis(cat_i, pos, axis=1)), None
+        return None, (-neg, idx_c + base)
 
-    best0 = (
-        jnp.full((b, kk), _INF, jnp.float32),
-        jnp.zeros((b, kk), jnp.int32),
-    )
-    (best_d, best_i), _ = jax.lax.scan(
-        body, best0, jnp.arange(n_chunks, dtype=jnp.int32)
-    )
+    _, (d_all, idx_all) = jax.lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+    )  # [n_chunks, B, kk]
+    all_d = d_all.transpose(1, 0, 2).reshape(b, n_chunks * kk)
+    all_i = idx_all.transpose(1, 0, 2).reshape(b, n_chunks * kk)
+    negs, pos = jax.lax.top_k(-all_d, kk)
+    best_d = -negs
+    best_i = jnp.take_along_axis(all_i, pos, axis=1)
     # final exact pass over the c winners (per-pair reference formulas)
     x = rows_p[best_i]
     xn = aux_p[best_i] if metric.name == "cosine" else jnp.zeros_like(best_d)
@@ -1255,8 +1254,12 @@ def _exact_scan_impl(
     n_chunks = m // chunk
     qmm = qv.astype(rows_mm.dtype)
 
-    def body(carry, i):
-        best_s, best_i = carry  # [B, k2] running best scores/slots
+    k2 = max(min(_next_pow2(8 * k), chunk), 128)
+
+    def body(_, i):
+        # no carried merge: each chunk emits its own top-k2 and ONE final
+        # top_k merges the stacked winners — the per-step cat+top_k this
+        # replaces sat on the scan's serial critical path
         base = i * chunk
         rc = jax.lax.dynamic_slice(rows_mm, (base, 0), (chunk, rows_mm.shape[1]))
         dots = jax.lax.dot_general(
@@ -1272,22 +1275,19 @@ def _exact_scan_impl(
             score = dots
         lc = jax.lax.dynamic_slice(live_p, (base,), (chunk,))
         score = jnp.where(lc[None, :], score, -_INF)
-        _, idx_c = jax.lax.approx_max_k(score, best_s.shape[1], recall_target=0.99)
+        _, idx_c = jax.lax.approx_max_k(score, k2, recall_target=0.99)
         sc = jnp.take_along_axis(score, idx_c, axis=1)
-        cat_s = jnp.concatenate([best_s, sc], axis=1)
-        cat_i = jnp.concatenate([best_i, idx_c + base], axis=1)
-        new_s, pos = jax.lax.top_k(cat_s, best_s.shape[1])
-        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
-        return (new_s, new_i), None
+        return None, (sc, idx_c + base)
 
-    k2 = max(min(_next_pow2(8 * k), chunk), 128)
-    best0 = (
-        jnp.full((b, k2), -_INF, jnp.float32),
-        jnp.zeros((b, k2), jnp.int32),
-    )
-    (best_s, cand), _ = jax.lax.scan(
-        body, best0, jnp.arange(n_chunks, dtype=jnp.int32)
-    )
+    _, (sc_all, idx_all) = jax.lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+    )  # [n_chunks, B, k2]
+    all_s = sc_all.transpose(1, 0, 2).reshape(b, n_chunks * k2)
+    all_i = idx_all.transpose(1, 0, 2).reshape(b, n_chunks * k2)
+    # single final merge; top_k keeps the first occurrence on ties, so
+    # lower chunks (lower slots) still win like the full-matrix path
+    best_s, pos = jax.lax.top_k(all_s, k2)
+    cand = jnp.take_along_axis(all_i, pos, axis=1)
     # padded-region winners carry score -inf (live_p False) and are
     # masked below; clamp only to keep the gathers in bounds
     cand = jnp.minimum(cand, rows.shape[0] - 1)
@@ -1310,8 +1310,12 @@ _exact_scan = functools.partial(
     jax.jit, static_argnames=("metric", "dims", "k", "chunk")
 )(_exact_scan_impl)
 
-#: stream item chunks once the full [B, M] dot matrix would exceed this
-_EXACT_DOTS_BYTES = 1 << 30
+#: stream item chunks once the full [B, M] dot matrix would exceed this.
+#: 4 GB default (v5e-1 has 16 GB HBM; the corpus + bf16 copy + matrix
+#: must co-reside): at B=256 the single-matmul path then serves up to
+#: ~4M items — scan steps each pay an approx_max_k pass over the score
+#: block, so skipping the scan entirely is the biggest merge saving.
+_EXACT_DOTS_BYTES = int(os.environ.get("ARROY_EXACT_DOTS_BYTES", 4 << 30))
 _EXACT_SCAN_CHUNK = 65_536
 
 
@@ -1363,8 +1367,11 @@ def _exact_bq_scan_impl(
     else:
         d_pad = rows_p.shape[1] * WORD_BITS
 
-    def body(carry, i):
-        best_d, best_i = carry  # [B, k] running best distances/slots
+    kk = min(k, chunk)
+
+    def body(_, i):
+        # stacked per-chunk winners + one final merge (no carried merge
+        # on the scan's critical path; same restructure as _exact_scan)
         base = i * chunk
         rc = jax.lax.dynamic_slice(rows_p, (base, 0), (chunk, rows_p.shape[1]))
         if mxu:
@@ -1387,20 +1394,19 @@ def _exact_bq_scan_impl(
             d = jnp.where(pnqn != 0.0, (1.0 - cos) / 2.0, 0.0)
         lc = jax.lax.dynamic_slice(live_p, (base,), (chunk,))
         d = jnp.where(lc[None, :], d, _INF)
-        neg, idx_c = jax.lax.top_k(-d, best_d.shape[1])
-        cat_d = jnp.concatenate([best_d, -neg], axis=1)
-        cat_i = jnp.concatenate([best_i, idx_c + base], axis=1)
-        negs, pos = jax.lax.top_k(-cat_d, best_d.shape[1])
-        return (-negs, jnp.take_along_axis(cat_i, pos, axis=1)), None
+        neg, idx_c = jax.lax.top_k(-d, kk)
+        return None, (-neg, idx_c + base)
 
-    kk = min(k, chunk)
-    best0 = (
-        jnp.full((b, kk), _INF, jnp.float32),
-        jnp.zeros((b, kk), jnp.int32),
-    )
-    (best_d, cand), _ = jax.lax.scan(
-        body, best0, jnp.arange(n_chunks, dtype=jnp.int32)
-    )
+    _, (d_all, idx_all) = jax.lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+    )  # [n_chunks, B, kk]
+    all_d = d_all.transpose(1, 0, 2).reshape(b, n_chunks * kk)
+    all_i = idx_all.transpose(1, 0, 2).reshape(b, n_chunks * kk)
+    # ties keep lowest-slot-first: chunk-major layout + top_k's
+    # first-occurrence preference, matching _exact_bq_matrix
+    negs, pos = jax.lax.top_k(-all_d, kk)
+    best_d = -negs
+    cand = jnp.take_along_axis(all_i, pos, axis=1)
     out_d = best_d
     ids = slot_to_id[jnp.minimum(cand, slot_to_id.shape[0] - 1)]
     if metric_name == "binary quantized euclidean":
