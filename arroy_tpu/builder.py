@@ -60,12 +60,21 @@ def _sign_positive(x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+#: two-means segment-chunk budget: the [chunk, 12, sd] sample gather is
+#: the level step's biggest temporary once many trees grow in one group
+_TWO_MEANS_CHUNK_BYTES = 256 << 20
+
+
 def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys):
     """Vmapped two-means over all segments (reference: src/distance/mod.rs:126-223).
 
-    Returns (normals [G, sd], aux [G]) in storage space.
+    Returns (normals [G, sd], aux [G]) in storage space.  Chunked along
+    the segment axis (lax.map) so the [G, 12, sd] sample gather stays
+    bounded when a grow group holds many trees' frontiers at once.
     """
     p_cap = perm.shape[0]
+    g_cap = seg_start.shape[0]
+    sd = rows.shape[1]
 
     def sample_one(start, ln, key):
         kc, ks = jax.random.split(key)
@@ -78,11 +87,34 @@ def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, key
         pos = start + jnp.minimum(idx, jnp.maximum(ln - 1, 0))
         return perm[jnp.minimum(pos, p_cap - 1)]
 
-    slots = jax.vmap(sample_one)(seg_start, seg_len, keys)  # [G, 12]
-    srows = rows[slots]  # [G, 12, sd]
-    sex = extras[slots]  # [G, 12]
-    shn = hnorms[slots]  # [G, 12]
-    return _two_means_core(metric, dims, srows, sex, shn)
+    def chunk_fn(args):
+        ss_c, sl_c, keys_c = args
+        slots = jax.vmap(sample_one)(ss_c, sl_c, keys_c)  # [C, 12]
+        srows = rows[slots]  # [C, 12, sd]
+        sex = extras[slots]  # [C, 12]
+        shn = hnorms[slots]  # [C, 12]
+        return _two_means_core(metric, dims, srows, sex, shn)
+
+    chunk = max(_TWO_MEANS_CHUNK_BYTES // (12 * sd * 4), 256)
+    if g_cap <= chunk:
+        return chunk_fn((seg_start, seg_len, keys))
+    n_chunks = -(-g_cap // chunk)
+    pad = n_chunks * chunk - g_cap
+    ss_p = jnp.concatenate([seg_start, jnp.zeros(pad, seg_start.dtype)])
+    sl_p = jnp.concatenate([seg_len, jnp.zeros(pad, seg_len.dtype)])
+    keys_p = jnp.concatenate([keys, keys[:pad]]) if pad else keys
+    normals, aux = jax.lax.map(
+        chunk_fn,
+        (
+            ss_p.reshape(n_chunks, chunk),
+            sl_p.reshape(n_chunks, chunk),
+            keys_p.reshape(n_chunks, chunk),
+        ),
+    )
+    return (
+        normals.reshape(n_chunks * chunk, -1)[:g_cap],
+        aux.reshape(n_chunks * chunk)[:g_cap],
+    )
 
 
 def _two_means_core(metric, dims, srows, sex, shn):
@@ -159,8 +191,7 @@ def _margins_chunked(metric, rows, extras, perm, item_seg, normals, aux):
     return jax.lax.map(chunk_fn, idx).reshape(p_cap)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "dims"))
-def _level_step(
+def _level_core(
     metric,
     dims,
     rows,
@@ -238,6 +269,67 @@ def _level_step(
     order = jnp.argsort(sort_key, stable=True)
     new_perm = perm[order]
     return new_perm, left_cnt, none_mask, normals, aux
+
+
+_level_step = functools.partial(jax.jit, static_argnames=("metric", "dims"))(
+    _level_core
+)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "dims", "split_after"))
+def _level_step_dev(
+    metric,
+    dims,
+    split_after,
+    rows,
+    extras,
+    hnorms,
+    perm,
+    seg_start,
+    seg_len,
+    seg_split,
+    g_live,
+    data_end,
+    key,
+):
+    """Level step + device-side frontier layout update.
+
+    The host-driven loop re-uploaded the [g_cap] segment arrays every
+    level (~tens of MB per level through the dev tunnel at 1M+ scale);
+    here the partition layout for the next level is derived ON DEVICE —
+    split segments are replaced in place by their two children, finished
+    segments carry over — so the frontier state never leaves the chip.
+    The host replays the identical update in numpy from the (downloaded)
+    `left_cnt`/`none_mask` to do its bookkeeping (node-id allocation,
+    split records, pending leaves); `tests/test_build.py` pins the two
+    layouts against each other byte-for-byte.
+    """
+    g_cap = seg_start.shape[0]
+    new_perm, left_cnt, none_mask, normals, aux = _level_core(
+        metric, dims, rows, extras, hnorms, perm, seg_start, seg_len,
+        seg_split, key,
+    )
+
+    g_iota = jnp.arange(g_cap, dtype=jnp.int32)
+    live = g_iota < g_live
+    split_mask = seg_split & live
+    ns_pre = jnp.cumsum(split_mask.astype(jnp.int32)) - split_mask
+    pos = g_iota + ns_pre  # output position of segment i (strictly increasing)
+    new_g = g_live + jnp.sum(split_mask.astype(jnp.int32))
+    src = jnp.searchsorted(pos, g_iota, side="right").astype(jnp.int32) - 1
+    src_c = jnp.clip(src, 0, g_cap - 1)
+    is_right = (g_iota - pos[src_c] == 1) & split_mask[src_c]
+    lc = left_cnt[src_c]
+    st = seg_start[src_c]
+    ln = seg_len[src_c]
+    out_start = jnp.where(is_right, st + lc, st)
+    out_len = jnp.where(split_mask[src_c], jnp.where(is_right, ln - lc, lc), ln)
+    out_split = split_mask[src_c] & (out_len > split_after)
+    valid = g_iota < new_g
+    ss2 = jnp.where(valid, out_start, data_end).astype(seg_start.dtype)
+    sl2 = jnp.where(valid, out_len, 0).astype(seg_len.dtype)
+    sp2 = jnp.where(valid, out_split, False)
+    return new_perm, ss2, sl2, sp2, new_g, left_cnt, none_mask, normals, aux
 
 
 # ---------------------------------------------------------------------------
@@ -430,6 +522,23 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     # level of every tree.
     g_cap_hint = _next_pow2(8 * total // max(ctx.split_after, 1) + len(seeds) + 64)
 
+    data_end = int(seg_start[-1] + seg_len[-1]) if len(seg_len) else 0
+    data_end_d = jnp.int32(max(data_end, 0))
+
+    def _upload_state(g_cap: int):
+        """Pad + upload the host frontier (level 0 and overflow re-bucket
+        only — the per-level state lives on device, see _level_step_dev)."""
+        g = len(seg_len)
+        ss = np.full(g_cap, max(data_end, 0), dtype=np.int32)
+        sl = np.zeros(g_cap, dtype=np.int32)
+        sp = np.zeros(g_cap, dtype=bool)
+        ss[:g] = seg_start
+        sl[:g] = seg_len
+        sp[:g] = seg_split
+        return jnp.asarray(ss), jnp.asarray(sl), jnp.asarray(sp), jnp.int32(g)
+
+    g_cap = max(256, g_cap_hint, _next_pow2(len(seg_len) + 1))
+    ss_d = sl_d = sp_d = g_d = None
     level = 0
     while seg_split.any():
         ctx.check_cancel()
@@ -443,30 +552,30 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             break
 
         g = len(seg_len)
-        # bucket the segment axis so successive levels reuse compiled shapes
-        g_cap = max(256, g_cap_hint, _next_pow2(g + 1))
-        ss = np.full(g_cap, p_pad, dtype=np.int32)
-        sl = np.zeros(g_cap, dtype=np.int32)
-        sp = np.zeros(g_cap, dtype=bool)
-        ss[:g] = seg_start
-        sl[:g] = seg_len
-        sp[:g] = seg_split
-        # padding-region items get mapped into the pad segments; make sure
-        # segment 0 of the pad block starts exactly at the data end
-        data_end = int(seg_start[-1] + seg_len[-1]) if g else 0
-        ss[g:] = max(data_end, 0)
+        ns_next = int(np.count_nonzero(seg_split))
+        if ss_d is None or g + ns_next > g_cap:
+            # first level, or the fixed bucket would overflow: re-pad and
+            # re-upload the (authoritative) host frontier
+            g_cap = max(g_cap, 256, _next_pow2(g + ns_next + 1))
+            ss_d, sl_d, sp_d, g_d = _upload_state(g_cap)
 
         level_key = jax.random.fold_in(key, level)
-        perm, left_cnt_d, none_d, normals_d, aux_d = _level_step(
+        (
+            perm, ss_d, sl_d, sp_d, g_d,
+            left_cnt_d, none_d, normals_d, aux_d,
+        ) = _level_step_dev(
             ctx.metric,
             ctx.dims,
+            ctx.split_after,
             rows_dev,
             extras_dev,
             hnorms_dev,
             perm,
-            jnp.asarray(ss),
-            jnp.asarray(sl),
-            jnp.asarray(sp),
+            ss_d,
+            sl_d,
+            sp_d,
+            g_d,
+            data_end_d,
             level_key,
         )
         # one bundled small fetch (counts, fallback flags, biases); the
@@ -545,12 +654,27 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         if indexed_now:
             ctx.on_items_indexed(indexed_now)
 
-    perm_final = np.asarray(perm)
-    for nid, s, e in pending_leaves:
-        slots = perm_final[s:e]
-        ids = slot_to_id[slots].astype(np.uint32)
-        ids.sort()
-        ctx.forest.put_leaf(nid, ids)
+    # bulk leaf write-back: the pending spans tile [0, data_end) exactly
+    # (every item settles in one leaf), so one gather + one lexsort
+    # replaces the per-leaf Python loop (~590k iterations at 1.18M x 25)
+    if pending_leaves:
+        perm_final = np.asarray(perm)
+        nids = np.fromiter((p[0] for p in pending_leaves), np.int64, len(pending_leaves))
+        starts = np.fromiter((p[1] for p in pending_leaves), np.int64, len(pending_leaves))
+        ends = np.fromiter((p[2] for p in pending_leaves), np.int64, len(pending_leaves))
+        order = np.argsort(starts, kind="stable")
+        nids, starts, ends = nids[order], starts[order], ends[order]
+        lens = ends - starts
+        assert len(starts) == 0 or (
+            starts[0] == 0 and np.all(starts[1:] == ends[:-1])
+        ), "pending leaf spans must tile the permutation"
+        ids_all = slot_to_id[perm_final[: int(ends[-1]) if len(ends) else 0]].astype(
+            np.uint32
+        )
+        span_of = np.repeat(np.arange(len(nids), dtype=np.int64), lens)
+        sorted_ids = ids_all[np.lexsort((ids_all, span_of))]
+        pieces = np.split(sorted_ids, np.cumsum(lens)[:-1])
+        ctx.forest.put_leaves(nids, pieces)
 
 
 # ---------------------------------------------------------------------------

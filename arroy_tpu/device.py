@@ -208,8 +208,27 @@ class DeviceIndex:
 
     @staticmethod
     def build(metric: type[Metric], dims: int, store: ItemStore, forest: Forest) -> "DeviceIndex":
+        import os
+
         pk = DeviceIndex.build_np(metric, dims, store, forest)
-        if store.capacity() > 0:
+        # ARROY_SERVING_DTYPE=bf16: hold the item matrix on device in
+        # bfloat16 (half the HBM — e.g. 4M x 768 = 6.1 GB instead of
+        # 12.3 GB, which does not fit v5e-1 alongside anything else).
+        # Exact-engine distances then re-score from bf16 rows (~3
+        # significant digits; measured recall vs the f32 oracle is the
+        # demo's job).  f32 metrics only; default remains f32.
+        serve_bf16 = (
+            os.environ.get("ARROY_SERVING_DTYPE", "").lower() == "bf16"
+            and not metric.binary
+        )
+        if serve_bf16:
+            import ml_dtypes  # jax dependency; cast on HOST so the f32
+            # matrix never transits the tunnel or touches HBM
+
+            rows_d = jnp.asarray(pk["rows"].astype(ml_dtypes.bfloat16))
+            norms_d = jnp.asarray(pk["norms"])
+            extras_d = jnp.asarray(pk["extras"])
+        elif store.capacity() > 0:
             # reuse the store's persistent device mirror (identical
             # content; build_np only zero-pads an empty store) — opening a
             # reader after a build in the same process transfers no rows

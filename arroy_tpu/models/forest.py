@@ -131,6 +131,18 @@ class Forest:
             raise ValueError(f"leaf {node_id}: items must be sorted unique u32s")
         self.leaves[node_id] = ids
 
+    def put_leaves(self, node_ids: np.ndarray, arrays: list[np.ndarray]) -> None:
+        """Trusted bulk put_leaf for the builder's write-back: arrays are
+        sorted-unique uint32 by construction (one lexsort over the whole
+        permutation), so the per-leaf validation and copy are skipped —
+        the scalar loop was ~590k Python iterations at 1.18M x 25 trees."""
+        node_ids = np.asarray(node_ids, np.int64)
+        if not len(node_ids):
+            return
+        self._ensure(int(node_ids.max()))
+        self.kind[node_ids] = KIND_LEAF
+        self.leaves.update(zip(node_ids.tolist(), arrays))
+
     def put_split(
         self, node_id: int, left: int, right: int, normal_row: int | None
     ) -> None:

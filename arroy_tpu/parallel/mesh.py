@@ -73,13 +73,20 @@ class ShardedExactIndex:
 
         shard2 = NamedSharding(mesh, P(AXIS, None))
         shard1 = NamedSharding(mesh, P(AXIS))
+        self._shard1 = shard1
+        self._live_np = live
+        self._ids_np = all_ids
         self.rows = jax.device_put(rows_p, shard2)
         self.norms = jax.device_put(norms, shard1)
         self.live = jax.device_put(live, shard1)
         self.ids = jax.device_put(all_ids, shard1)
 
-    def search(self, queries: np.ndarray, k: int):
-        """Replicated queries against the sharded corpus; returns (ids, dists)."""
+    def search(self, queries: np.ndarray, k: int, candidates=None):
+        """Replicated queries against the sharded corpus; returns (ids, dists).
+
+        ``candidates``: optional item-id allowlist — the roaring-∩ filter
+        role (reference: src/reader.rs:354-360) as a sharded live-mask
+        column, exactly like the single-chip exact engine."""
         metric, dims = self.metric, self.dims
         qv = metric.encode_np(np.asarray(queries, np.float32))
         qn = metric.item_norms_np(qv, dims)
@@ -87,8 +94,14 @@ class ShardedExactIndex:
         rep1 = NamedSharding(self.mesh, P(None))
         qv_d = jax.device_put(qv, rep2)
         qn_d = jax.device_put(qn, rep1)
+        live = self.live
+        if candidates is not None:
+            mask = self._live_np & np.isin(
+                self._ids_np, np.asarray(list(candidates), np.uint32)
+            )
+            live = jax.device_put(mask, self._shard1)
         ids, dists = _sharded_exact(
-            self.mesh, metric, dims, int(k), self.rows, self.norms, self.live, self.ids, qv_d, qn_d
+            self.mesh, metric, dims, int(k), self.rows, self.norms, live, self.ids, qv_d, qn_d
         )
         return np.asarray(ids), np.asarray(dists)
 

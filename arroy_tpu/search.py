@@ -42,6 +42,14 @@ _INF = jnp.float32(jnp.inf)
 _RESCORE_CHUNK = 512
 
 
+def _row_sq(rows):
+    """Per-row squared norm with f32 accumulation (rows may be held
+    bf16 under ARROY_SERVING_DTYPE; XLA fuses the upcast into the
+    reduction, so no f32 copy is materialized)."""
+    r = rows.astype(jnp.float32)
+    return jnp.sum(r * r, axis=1)
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < max(n, 1):
@@ -561,10 +569,11 @@ def _rescore_matmul_impl(
     mask = mask.at[jnp.arange(b, dtype=jnp.int32)[:, None], slots_c].max(valid0)
 
     dots = jax.lax.dot_general(
-        qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qv.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [B, M]
     if metric.name == "euclidean":
-        x2 = jnp.sum(rows * rows, axis=1)
+        x2 = _row_sq(rows)
         q2 = jnp.sum(qv * qv, axis=1)
         d = jnp.maximum(x2[None, :] - 2.0 * dots + q2[:, None], 0.0)
     elif metric.name == "cosine":
@@ -628,7 +637,8 @@ def _rescore_matmul_scan_impl(
         rc = jax.lax.dynamic_slice(rows_p, (base, 0), (chunk, rows_p.shape[1]))
         ac = jax.lax.dynamic_slice(aux_p, (base,), (chunk,))
         dots = jax.lax.dot_general(
-            qv, rc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qv.astype(rc.dtype), rc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         if metric.name == "euclidean":
             d = jnp.maximum(ac[None, :] - 2.0 * dots + q2[:, None], 0.0)
@@ -944,7 +954,7 @@ def make_search_fn(
             pad = mpad - idx.cap
             rows_p = idx.rows
             if idx.metric.name == "euclidean":
-                aux = jnp.sum(idx.rows * idx.rows, axis=1)
+                aux = _row_sq(idx.rows)
             elif idx.metric.name == "cosine":
                 aux = idx.norms
             else:
@@ -1199,10 +1209,11 @@ def _exact_f32_impl(
     formulas removes it at negligible cost (c << M)."""
     name = metric.name
     dots = jax.lax.dot_general(
-        qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qv.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [B, M]
     if name == "euclidean":
-        x2 = jnp.sum(rows * rows, axis=1)
+        x2 = _row_sq(rows)
         score = 2.0 * dots - x2[None, :]  # argmin d == argmax score
     elif name == "cosine":
         safe = jnp.where(norms > 0.0, norms, 1.0)
@@ -1444,10 +1455,11 @@ def _exact_f32_direct_impl(
     recall ~0.995 on clustered 768-d data vs the exact formulas."""
     name = metric.name
     dots = jax.lax.dot_general(
-        qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qv.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     if name == "euclidean":
-        x2 = jnp.sum(rows * rows, axis=1)
+        x2 = _row_sq(rows)
         q2 = jnp.sum(qv * qv, axis=1)
         d = jnp.maximum(x2[None, :] - 2.0 * dots + q2[:, None], 0.0)
     elif name == "cosine":
@@ -1490,7 +1502,7 @@ def _exact_bf16_impl(
         preferred_element_type=jnp.float32,
     )  # [B, M] f32 accumulated from bf16 inputs
     if name == "euclidean":
-        x2 = jnp.sum(rows * rows, axis=1)
+        x2 = _row_sq(rows)
         score = 2.0 * dots - x2[None, :]  # argmin d == argmax score
     elif name == "cosine":
         safe = jnp.where(norms > 0.0, norms, 1.0)
@@ -1650,7 +1662,7 @@ def make_exact_fn(
             pad = mpad - idx.cap
             rows_mm = idx.rows.astype(dtype)
             if metric.name == "euclidean":
-                aux = jnp.sum(idx.rows * idx.rows, axis=1)
+                aux = _row_sq(idx.rows)
             elif metric.name == "cosine":
                 aux = idx.norms
             else:
@@ -1748,10 +1760,11 @@ def _exact_matmul(metric_name, dims, k, rows, norms, extras, slot_to_id, live, q
     in final bits from the sum-of-squares form the oracle uses).
     """
     dots = jax.lax.dot_general(
-        qv, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qv.astype(rows.dtype), rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [B, M]
     if metric_name == "euclidean":
-        x2 = jnp.sum(rows * rows, axis=1)
+        x2 = _row_sq(rows)
         q2 = jnp.sum(qv * qv, axis=1)
         d = x2[None, :] - 2.0 * dots + q2[:, None]
         d = jnp.maximum(d, 0.0)

@@ -120,10 +120,15 @@ def target_n_trees(
     return max(nb_trees, 1)
 
 
-#: per-grow-pass item bound, in units of split_after: the level step's
-#: two-means gather is [G, 12, sd] with G ~ 8*total/split_after, so this
-#: caps the device working set of one batched grow at ~2^16 segments
-_GROW_GROUP_SPLITS = 8192
+#: per-grow-pass bounds.  The two-means sample gather is chunked along
+#: the segment axis (builder._two_means), so the working set of one
+#: batched grow is dominated by the permutation/sort arrays (~8 bytes a
+#: slot) plus fixed per-segment bookkeeping — many whole trees now grow
+#: level-synchronously in ONE pass (one device round-trip per level for
+#: the whole group instead of per tree; at 1.18M x 25 trees the per-tree
+#: grouping cost ~875 tunnel syncs, this costs ~40).
+_GROW_GROUP_SPLITS = 262_144
+_GROW_GROUP_ITEMS = 32 << 20
 
 
 def _swap_remove0(lst: list) -> object:
@@ -495,14 +500,17 @@ class Writer:
             return
         if ctx.budget_items is None:
             # Even without a user memory budget, bound each batched grow
-            # pass: the level-step two-means gathers [G, 12, sd] rows
-            # where G ~ 8*total/split_after, so an unbounded seed list
-            # (e.g. target_n_trees growing a 150k index from 10 to ~530
-            # trees seeds ~80M items at once) would allocate tens of GB.
-            # Seeds are independent; group them so each grow_trees call
-            # stays within a fixed device working set.  (The reference
+            # pass: the permutation/sort arrays cost ~8 bytes a slot and
+            # an unbounded seed list (e.g. target_n_trees growing a 150k
+            # index from 10 to ~530 trees seeds ~80M items at once) would
+            # still allocate tens of GB of frontier state.  Seeds are
+            # independent; group them so each grow_trees call stays
+            # within a fixed device working set.  (The reference
             # naturally bounds this per rayon task, src/writer.rs:568-591.)
-            cap = max(_GROW_GROUP_SPLITS * ctx.split_after, ctx.dims + 1)
+            cap = max(
+                min(_GROW_GROUP_SPLITS * ctx.split_after, _GROW_GROUP_ITEMS),
+                ctx.dims + 1,
+            )
             groups: list[list] = [[]]
             group_total = 0
             for nid, slots in seeds:

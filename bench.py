@@ -69,13 +69,17 @@ def _mfu(qps: float) -> tuple[float, float]:
     return tflops, tflops / PEAK_TFLOPS
 
 
-def _baseline_qps() -> float:
+def _baseline(key: str, default: float) -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
     try:
         with open(path) as f:
-            return float(json.load(f)["cpu_arroy_qps"])
+            return float(json.load(f)[key])
     except Exception:
-        return 2500.0
+        return default
+
+
+def _baseline_qps() -> float:
+    return _baseline("cpu_arroy_qps", 2500.0)
 
 
 def make_corpus(rng, m, d):
@@ -290,6 +294,14 @@ def main():
                 "recall": round(best_recall, 4),
                 "batch": BATCH,
                 "build_s": round(build_s, 2),
+                # >1 = this build is faster than the estimated multi-core
+                # CPU-arroy build of the same index (BASELINE_CPU.json
+                # build_derivation); 0.0 = persisted index reused, no build
+                "build_vs_baseline": round(
+                    _baseline("cpu_arroy_build_s", 15.0) / build_s, 3
+                )
+                if build_s > 0
+                else 0.0,
                 "compile_s": round(best_compile, 2),
                 "baseline_cpu_qps": _baseline_qps(),
                 "achieved_tflops": round(tflops, 2),

@@ -1,0 +1,168 @@
+"""Exact-vs-forest serving crossover sweep (VERDICT r2 item 1b).
+
+Measures, on the real chip, the qps/recall of (a) the DEFAULT
+`Reader.searcher()` path (engine="auto"), (b) the forced exact engine,
+and (c) the forest engine tuned to the recall target (search_k doubling,
+multipop auto), at several corpus sizes — to locate the scale, if any,
+where the forest beats the streamed exact engine at equal recall.
+
+    python scripts/crossover_sweep.py --m 262144,524288,1048576,2097152 \
+        --d 768 --trees 12 --batch 256
+
+Indexes persist to /tmp/cross_<m>x<d>_t<trees> so re-runs skip builds.
+Appends one JSON line per (m, engine) to results/crossover_r03.jsonl.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+from arroy_tpu import Database, Reader, Writer  # noqa: E402
+
+CHUNK = 131_072
+
+
+def clustered(rng, n, d, parents):
+    pa, pb = rng.integers(64, size=n), rng.integers(64, size=n)
+    mask = rng.random((n, d)) < 0.5
+    x = np.where(mask, parents[pa], parents[pb]).astype(np.float32)
+    x += 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    return x
+
+
+def build_or_reuse(m, d, trees, seed=42):
+    rng = np.random.default_rng(seed)
+    parents = rng.standard_normal((64, d)).astype(np.float32)
+    db = Database(f"/tmp/cross_{m}x{d}_t{trees}")
+    w = Writer(db, 0, d)
+    st = db.read().state(0)
+    have = (
+        st is not None
+        and st.metadata is not None
+        and st.metadata.dimensions == d
+        and len(st.metadata.items) == m
+        and len(st.metadata.roots) == trees
+        and not st.updated
+    )
+    build_s = 0.0
+    if have:
+        for lo in range(0, m, CHUNK):  # keep the rng stream aligned
+            n = min(CHUNK, m - lo)
+            rng.integers(64, size=n), rng.integers(64, size=n)
+            rng.random((n, d)), rng.standard_normal((n, d))
+        print(f"[{m}] reusing persisted index", flush=True)
+    else:
+        t0 = time.perf_counter()
+        with db.write() as t:
+            t.drop_index(0)
+            for lo in range(0, m, CHUNK):
+                n = min(CHUNK, m - lo)
+                w.add_items(
+                    t,
+                    np.arange(lo, lo + n, dtype=np.uint32),
+                    clustered(rng, n, d, parents),
+                )
+            t_ing = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            w.builder(seed=seed).n_trees(trees).build(t)
+            build_s = time.perf_counter() - t1
+        print(f"[{m}] ingest {t_ing:.1f}s  build {build_s:.1f}s", flush=True)
+    r = Reader.open(db.read(), 0, db)
+    return r, rng, parents, build_s
+
+
+def measure(searcher, q, iters=8):
+    dq = searcher.prepare_queries(q)
+    t0 = time.perf_counter()
+    jax.block_until_ready(searcher.device_fn(*dq))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [searcher.device_fn(*dq) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return len(q) * iters / dt, compile_s, outs[-1]
+
+
+def recall_of(out, exact_sets, nq, k):
+    ids = np.asarray(out[0])[:nq, :k]
+    return sum(
+        len(set(map(int, ri)) & es) for ri, es in zip(ids, exact_sets)
+    ) / (nq * k)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", default="262144,524288,1048576")
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--trees", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--target", type=float, default=0.95)
+    ap.add_argument("--sk0", type=int, default=2000)
+    ap.add_argument("--out", default="results/crossover_r03.jsonl")
+    args = ap.parse_args()
+    k, b = args.k, args.batch
+
+    for m in [int(v) for v in args.m.split(",")]:
+        r, rng, parents, build_s = build_or_reuse(m, args.d, args.trees)
+        q = clustered(rng, b, args.d, parents)
+        nq = min(b, 64)
+        exact = r.exact_by_vectors(q[:nq], k, fast=True)
+        exact_sets = [set(i for i, _ in e) for e in exact]
+        rows = []
+
+        s = r.searcher(k)  # THE default serving path
+        qps, comp, out = measure(s, q)
+        rec = recall_of(out, exact_sets, nq, k)
+        rows.append(("auto(default)", s.engine, 0, qps, rec, comp))
+
+        sk = args.sk0
+        for _ in range(6):
+            s = r.searcher(k, search_k=sk, engine="forest")
+            qps, comp, out = measure(s, q)
+            rec = recall_of(out, exact_sets, nq, k)
+            rows.append(("forest", "forest", sk, qps, rec, comp))
+            if rec >= args.target:
+                break
+            sk *= 2
+
+        # single-pop reference arm at the tuned search_k (multipop delta)
+        s = r.searcher(k, search_k=sk, engine="forest", multipop=1)
+        qps, comp, out = measure(s, q)
+        rec = recall_of(out, exact_sets, nq, k)
+        rows.append(("forest_sp", "forest multipop=1", sk, qps, rec, comp))
+
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "a") as f:
+            for name, eng, sk_v, qps, rec, comp in rows:
+                print(
+                    f"[{m}x{args.d}] {name:14s} sk={sk_v:<6d} "
+                    f"{qps:9.0f} qps  recall@{k}={rec:.4f}  (compile {comp:.1f}s)",
+                    flush=True,
+                )
+                f.write(
+                    json.dumps(
+                        dict(
+                            m=m, d=args.d, trees=args.trees, batch=b,
+                            arm=name, engine=eng, search_k=sk_v,
+                            qps=round(qps, 1), recall=round(rec, 4),
+                            compile_s=round(comp, 2),
+                            build_s=round(build_s, 2),
+                        )
+                    )
+                    + "\n"
+                )
+
+
+if __name__ == "__main__":
+    main()

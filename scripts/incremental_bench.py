@@ -30,6 +30,31 @@ D = 768
 WORK = "/tmp/arroy_incr_bench"
 
 
+def tunnel_probe() -> tuple[float, float]:
+    """(upload MB/s, download MB/s) of the device tunnel via a 16 MB
+    round trip.  The tunnel degrades 10-25x for minutes at a time
+    (results/incremental_r02.log measured 32s vs 432s for the same
+    binary); probing lets the bench ANNOTATE a degraded run and retry
+    once instead of silently reporting tunnel weather as engine cost."""
+    import jax.numpy as jnp
+
+    a = np.zeros(4 << 20, np.float32)  # 16 MB
+    t0 = time.perf_counter()
+    d = jnp.asarray(a)
+    jax.block_until_ready(d)
+    up = 16.0 / max(time.perf_counter() - t0, 1e-9)
+    t0 = time.perf_counter()
+    np.asarray(d)
+    down = 16.0 / max(time.perf_counter() - t0, 1e-9)
+    return up, down
+
+
+#: below these rates the tunnel counts as degraded (healthy measures
+#: ~9 MB/s up / ~33 MB/s down; degraded episodes measure well under half)
+_MIN_UP_MBPS = float(os.environ.get("ARROY_TUNNEL_MIN_UP", 3.0))
+_MIN_DOWN_MBPS = float(os.environ.get("ARROY_TUNNEL_MIN_DOWN", 8.0))
+
+
 def main():
     if not os.path.isdir(SRC):
         print(f"missing source index {SRC}; run bench.py first", file=sys.stderr)
@@ -60,20 +85,47 @@ def main():
     def track(p):
         phases.append((p.main.name, time.perf_counter()))
 
-    t0 = time.perf_counter()
-    with db.write() as t:
-        w.add_items(t, new_ids, x_new)
-        t_add = time.perf_counter()
-        w.builder(seed=99).n_trees(n_trees).progress(track).build(t)
-        t_build = time.perf_counter()
-    for (name, ts), (_, nxt) in zip(phases, phases[1:] + [("", t_build)]):
-        if nxt - ts > 0.5:
-            print(f"  phase {name}: {nxt - ts:.1f}s", flush=True)
-    print(
-        f"insert {N_UPD}: add {t_add - t0:.2f}s  incremental build "
-        f"{t_build - t_add:.2f}s",
-        flush=True,
-    )
+    up0, down0 = tunnel_probe()
+    print(f"tunnel probe: up {up0:.1f} MB/s  down {down0:.1f} MB/s", flush=True)
+
+    for attempt in range(2):
+        phases.clear()
+        t0 = time.perf_counter()
+        with db.write() as t:
+            w.add_items(t, new_ids, x_new)
+            t_add = time.perf_counter()
+            w.builder(seed=99).n_trees(n_trees).progress(track).build(t)
+            t_build = time.perf_counter()
+        for (name, ts), (_, nxt) in zip(phases, phases[1:] + [("", t_build)]):
+            if nxt - ts > 0.5:
+                print(f"  phase {name}: {nxt - ts:.1f}s", flush=True)
+        print(
+            f"insert {N_UPD}: add {t_add - t0:.2f}s  incremental build "
+            f"{t_build - t_add:.2f}s",
+            flush=True,
+        )
+        up1, down1 = tunnel_probe()
+        degraded = up1 < _MIN_UP_MBPS or down1 < _MIN_DOWN_MBPS
+        if degraded and attempt == 0:
+            print(
+                f"DEGRADED TUNNEL during cold insert (up {up1:.1f}, down "
+                f"{down1:.1f} MB/s) - annotating and retrying the phase once "
+                "on a fresh copy",
+                flush=True,
+            )
+            shutil.rmtree(WORK, ignore_errors=True)
+            shutil.copytree(SRC, WORK)
+            db = Database(WORK)
+            w = Writer(db, 0, D)
+            continue
+        if degraded:
+            print(
+                f"NOTE: tunnel still degraded (up {up1:.1f}, down {down1:.1f} "
+                "MB/s) - the cold-insert figure above reflects tunnel "
+                "weather, not engine cost",
+                flush=True,
+            )
+        break
     r = Reader.open(db.read(), 0, db)
     r.assert_validity()
     got = r.nns(5).by_item(int(new_ids[0]))

@@ -104,8 +104,25 @@ for prec in ("f32x1", "bf16"):
         flush=True,
     )
 
+# the DEFAULT serving path (engine="auto" — VERDICT r2 item 1 done
+# criterion: this must hit exact-engine qps at 1M)
+s = r.searcher(10)
+dq = s.prepare_queries(q)
+jax.block_until_ready(s.device_fn(*dq))
+t0 = time.perf_counter()
+outs = [s.device_fn(*dq) for _ in range(10)]
+jax.block_until_ready(outs)
+dt = (time.perf_counter() - t0) / 10
+ids = np.asarray(outs[-1][0])[:64, :10]
+hits = sum(len(set(map(int, ri)) & {i for i, _ in e}) for ri, e in zip(ids, exact))
+print(
+    f"searcher() default [{s.engine}]: {dt * 1e3:7.2f} ms/256 -> {256 / dt:8.0f} qps"
+    f"  recall@10={hits / 640:.3f}",
+    flush=True,
+)
+
 for sk in (1000, 5000, 20000):
-    s = r.searcher(10, search_k=sk)
+    s = r.searcher(10, search_k=sk, engine="forest")
     dq = s.prepare_queries(q)
     jax.block_until_ready(s.device_fn(*dq))
     t0 = time.perf_counter()
@@ -122,3 +139,19 @@ for sk in (1000, 5000, 20000):
         f"recall@10={rec:.3f}",
         flush=True,
     )
+
+# single-pop reference arm (multipop deviation delta at the big sk)
+s = r.searcher(10, search_k=20000, engine="forest", multipop=1)
+dq = s.prepare_queries(q)
+jax.block_until_ready(s.device_fn(*dq))
+t0 = time.perf_counter()
+outs = [s.device_fn(*dq) for _ in range(10)]
+jax.block_until_ready(outs)
+dt = (time.perf_counter() - t0) / 10
+got = s(q[:64])
+hits = sum(len({i for i, _ in g} & {i for i, _ in e}) for g, e in zip(got, exact))
+print(
+    f"sk=20000 multipop=1: {dt * 1e3:7.2f} ms/256 -> {256 / dt:8.0f} qps  "
+    f"recall@10={hits / 640:.3f}",
+    flush=True,
+)

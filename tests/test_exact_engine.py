@@ -185,3 +185,33 @@ def test_exact_scan_path_matches_oracle(monkeypatch):
         # distances exact (f32 re-score stage)
         for g, o in zip(got, oracle):
             assert g[0][1] == pytest.approx(o[0][1], rel=1e-4, abs=1e-4)
+
+
+def test_bf16_resident_serving(monkeypatch):
+    """ARROY_SERVING_DTYPE=bf16 holds the item matrix in bfloat16 (half
+    the HBM — the 4M x 768 configuration) and the exact engine re-scores
+    from bf16 rows; recall vs a host f32 oracle must stay high."""
+    import jax.numpy as jnp
+
+    from arroy_tpu import Database, Reader, Writer
+
+    rng = np.random.default_rng(31)
+    m, d = 600, 32
+    x = rng.standard_normal((m, d)).astype(np.float32)
+    db = Database()
+    w = Writer(db, 0, d)
+    with db.write() as t:
+        w.add_items(t, np.arange(m, dtype=np.uint32), x)
+        w.builder(seed=1).n_trees(2).build(t)
+    monkeypatch.setenv("ARROY_SERVING_DTYPE", "bf16")
+    r = Reader.open(db.read(), 0, db)
+    s = r.searcher(10, engine="exact", precision="bf16")
+    assert s._dev.rows.dtype == jnp.bfloat16
+    q = x[:8] + 0.01 * rng.standard_normal((8, d)).astype(np.float32)
+    got = s(q)
+    d2 = ((x[None, :, :] - q[:, None, :]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1)[:, :10]
+    hits = sum(
+        len({i for i, _ in g} & set(map(int, wr))) for g, wr in zip(got, want)
+    )
+    assert hits / 80 >= 0.9, hits / 80
