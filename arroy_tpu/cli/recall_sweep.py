@@ -45,6 +45,11 @@ def main(argv=None):
         "--exact-point", action="store_true",
         help="also measure the exact MXU engine (the recall-1.0 endpoint)",
     )
+    ap.add_argument(
+        "--multipop", default="auto",
+        help="forest pops per traversal iteration (1 = strict best-first, "
+        "auto = 16 past 262k items; see PARITY.md deviation 11)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -140,8 +145,12 @@ def main(argv=None):
     points = args.search_k or [
         args.count * args.n_trees * f for f in (1, 5, 20, 50, 100, 200)
     ]
+    mp = args.multipop if args.multipop == "auto" else int(args.multipop)
     for sk in points:
-        measure(r.searcher(args.count, search_k=sk), f"search_k={sk:>7}")
+        measure(
+            r.searcher(args.count, search_k=sk, engine="forest", multipop=mp),
+            f"search_k={sk:>7}",
+        )
     if args.exact_point:
         measure(r.searcher(args.count, engine="exact"), "exact          ")
 

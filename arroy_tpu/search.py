@@ -93,43 +93,47 @@ def pops_budget(
 
 
 def _expand_one_log(log1, leaf_off, leaf_cnt, leaf_items, cap):
-    """One query's leaf log -> `cap` candidate slots (-1 padded): a
-    cumsum/searchsorted window expansion over the CSR rows the traversal
-    popped.  Shared by the XLA and Pallas traversal paths so their
-    outputs stay bit-identical by construction."""
+    """One query's leaf log -> `cap` candidate slots (-1 padded).
+
+    Run-length decode of the CSR windows the traversal popped, as two
+    tiny scatters + cumsums: row j of the log covers output positions
+    [ends[j-1], ends[j]), so scattering each row's (end-delta, CSR-offset
+    delta) at its boundary position and prefix-summing yields, for every
+    output position c, the covering row's output start and CSR offset —
+    O(cap) work.  (The previous formulation ran searchsorted/dense
+    compares of [cap] positions against the [l_cap] end table; at
+    search_k=32k x l_cap=3.7k it materialized ~30 GB of compare traffic
+    and cost 1.4 s/batch on chip — 15x the traversal it postprocesses.)
+    Shared by the XLA and Pallas traversal paths so their outputs stay
+    bit-identical by construction."""
     l_cap = log1.shape[0]
     cap_iota = jnp.arange(cap, dtype=jnp.int32)
     l_iota = jnp.arange(l_cap, dtype=jnp.int32)
     n_leaf = log1[l_cap - 1]  # running count kept in the tail slot
     live_l = l_iota < n_leaf  # entries >= n_leaf are stale
     counts = jnp.where(live_l, leaf_cnt[log1], 0)  # [l_cap] gather (tiny)
-    offs_l = leaf_off[log1]  # [l_cap] gather (tiny)
+    offs_l = jnp.where(live_l, leaf_off[log1], 0)  # [l_cap] gather (tiny)
     ends = jnp.cumsum(counts)
-    starts = ends - counts
-    if l_cap <= 512:
-        # dense compare-reduce over the (tight) log axis instead of
-        # per-slot gathers: searchsorted's binary search plus three
-        # [cap]-wide gathers from small tables were the whole query
-        # path's dominant cost (hundreds of ms per batch at search_k=8k);
-        # the [cap, l_cap] compare/select matrices are pure VPU
-        le = ends[None, :] <= cap_iota[:, None]  # [cap, l_cap]
-        sel = jnp.sum(le.astype(jnp.int32), axis=1)
-        sel_c = jnp.minimum(sel, l_cap - 1)
-        eq = sel_c[:, None] == l_iota[None, :]
+    begins = ends - counts  # row j begins at output position ends[j-1]
 
-        def pick(tbl):
-            return jnp.sum(jnp.where(eq, tbl[None, :], 0), axis=1)
+    # start_at_c = ends[sel-1] (output start of the covering row):
+    # scatter each row's end-delta at its end position, inclusive-cumsum
+    prev_end = jnp.concatenate([jnp.zeros(1, ends.dtype), ends[:-1]])
+    d_end = ends - prev_end
+    acc = jnp.zeros(cap + 1, jnp.int32)
+    acc = acc.at[jnp.minimum(ends, cap)].add(d_end)
+    start = jnp.cumsum(acc[:cap])
+    # off_at_c = offs[sel]: scatter each row's CSR-offset delta at the
+    # position where the row BEGINS, inclusive-cumsum
+    prev_off = jnp.concatenate([jnp.zeros(1, offs_l.dtype), offs_l[:-1]])
+    d_off = jnp.where(live_l, offs_l - prev_off, 0)
+    acc2 = jnp.zeros(cap + 1, jnp.int32)
+    acc2 = acc2.at[jnp.minimum(begins, cap)].add(d_off)
+    off = jnp.cumsum(acc2[:cap])
 
-        start = pick(starts)
-        off = pick(offs_l)
-    else:
-        sel = jnp.searchsorted(ends, cap_iota, side="right").astype(jnp.int32)
-        sel_c = jnp.minimum(sel, l_cap - 1)
-        start = starts[sel_c]
-        off = offs_l[sel_c]
     src = off + (cap_iota - start)
     total = jnp.minimum(ends[l_cap - 1], cap)
-    vals = leaf_items[jnp.minimum(src, leaf_items.shape[0] - 1)]
+    vals = leaf_items[jnp.clip(src, 0, leaf_items.shape[0] - 1)]
     return jnp.where(cap_iota < total, vals, -1)
 
 
@@ -355,15 +359,21 @@ def _traverse_multipop_impl(
     """Multi-pop traversal: pop the best `P` queue entries per iteration.
 
     A documented deviation from the reference's strict best-first order
-    (reference: src/reader.rs:345-372): the children of pop #1 cannot be
-    examined before pops #2..P of the same iteration, so the candidate
-    stream differs slightly from the global-heap order at equal
-    `search_k`.  The payoff is breaking the loop's serial-latency bound:
-    at 1M+ items a query needs hundreds of pops and each iteration costs
-    ~fixed latency regardless of width, so P pops per iteration is ~P×
-    fewer serial steps.  Recall impact is measured, small, and
-    compensated by the search_k knob itself (PARITY.md deviation;
-    `multipop=1` keeps the bit-exact reference order).
+    (reference: src/reader.rs:345-372): the queue is viewed as a [P, L]
+    grid of P segments and each iteration pops the argmax of EVERY
+    segment — the best P entries *per segment*, which approximates the
+    global top-P (the global max is always among them; an entry skipped
+    this iteration stays queued).  Queue slots are assigned round-robin
+    across segments (logical slot k lives at physical lane
+    (k mod P)·L + k div P) so pushes disperse instead of piling into one
+    segment.  The payoff is breaking the loop's serial-latency bound: a
+    query at 1M+ needs thousands of pops and each iteration costs ~the
+    same whether it pops 1 or P entries, because every update below is
+    a single queue-wide mask or a tiny [P]-table gather — no sorts, no
+    [q_cap, P] one-hot matrices, and L stays the minor (vectorized)
+    axis.  Recall impact is measured, small, and compensated by the
+    search_k knob itself (PARITY.md deviation 11; `multipop=1` keeps
+    the bit-exact reference order).
 
     Unfiltered only — filtered searches route to the exact engine.
     """
@@ -371,18 +381,24 @@ def _traverse_multipop_impl(
     s_rows = normals.shape[0]
     if q_cap is None:
         q_cap = t + pmax
-    q_cap = max(q_cap, P)
+    q_cap = max(q_cap, 2 * P)
+    q_cap = -(-q_cap // P) * P  # pad to a multiple of P for the [P, L] view
+    L = q_cap // P
     cap = search_k + w
     if l_cap is None:
         l_cap = min(search_k, pmax) + 1
 
     q_iota = jnp.arange(q_cap, dtype=jnp.int32)
     l_iota = jnp.arange(l_cap, dtype=jnp.int32)
+    l_grid = jnp.arange(L, dtype=jnp.int32)
+    p_iota = jnp.arange(P, dtype=jnp.int32)
+    # physical lane j = p*L + l holds logical slot k = l*P + p (constants)
+    k_of_j = (q_iota % L) * P + q_iota // L  # [q_cap]
     margins_all = metric.margin_matrix(normals, aux, qv, qf)  # [B, S]
 
     def one(qv1, qf1, margins1):
-        pq_dist = jnp.where(q_iota < t, _INF, -_INF)
-        pq_node = jnp.where(q_iota < t, roots[jnp.minimum(q_iota, t - 1)], 0)
+        pq_dist = jnp.where(k_of_j < t, _INF, -_INF)
+        pq_node = jnp.where(k_of_j < t, roots[jnp.minimum(k_of_j, t - 1)], 0)
 
         def cond(st):
             _, _, _, _, n_cand, pops = st
@@ -391,25 +407,34 @@ def _traverse_multipop_impl(
         def body(st):
             pq_dist, pq_node, n_pushed, leaf_log, n_cand, pops = st
             n_leaf = leaf_log[l_cap - 1]
-            vals, idxs = jax.lax.top_k(pq_dist, P)  # [P] (distinct lanes)
+
+            # --- segment-max pop: one minor-axis reduction over [P, L] ---
+            grid = pq_dist.reshape(P, L)
+            vals = jnp.max(grid, axis=1)  # [P]
+            arg = jnp.argmax(grid, axis=1)  # [P] column of each segment's max
+            idxs = p_iota * L + arg  # physical lane of each pop
             alive = vals > -_INF
-            nids = pq_node[idxs]
+            nids = pq_node[idxs]  # [P] tiny gather
             rows = node_table[nids]  # [P, 8]
             knd = rows[:, 0]
             p = rows[:, 3]
             is_leaf = alive & (knd == KIND_LEAF)
             is_split = alive & ~is_leaf & (knd != KIND_FREE)
 
-            # --- leaf lanes: log each non-empty window ---
+            # --- leaf lanes: log each non-empty window (contiguous slots
+            # from n_leaf; rank -> lane via a tiny [P] searchsorted table)
             cnts = jnp.where(is_leaf, rows[:, 5], 0)
             log_lane = is_leaf & (cnts > 0)
-            lpos = n_leaf + jnp.cumsum(log_lane.astype(jnp.int32)) - log_lane
-            write = log_lane & (lpos < l_cap - 1)
-            eq_l = (l_iota[:, None] == lpos[None, :]) & write[None, :]
-            hit_l = jnp.any(eq_l, axis=1)
-            sel_l = jnp.argmax(eq_l, axis=1)
-            leaf_log = jnp.where(hit_l, p[sel_l], leaf_log)
-            n_leaf2 = n_leaf + jnp.sum(write.astype(jnp.int32))
+            csum_log = jnp.cumsum(log_lane.astype(jnp.int32))
+            n_log = csum_log[P - 1]
+            rank_of = jnp.searchsorted(
+                csum_log, p_iota + 1, side="left"
+            ).astype(jnp.int32)  # [P] lane of rank r
+            l_rel = l_iota - n_leaf
+            in_log = (l_rel >= 0) & (l_rel < n_log) & (l_iota < l_cap - 1)
+            lane_l = rank_of[jnp.clip(l_rel, 0, P - 1)]
+            leaf_log = jnp.where(in_log, p[lane_l], leaf_log)
+            n_leaf2 = jnp.minimum(n_leaf + n_log, l_cap - 1)
             leaf_log = jnp.where(l_iota == l_cap - 1, n_leaf2, leaf_log)
             n_cand = n_cand + jnp.sum(cnts)
 
@@ -420,20 +445,28 @@ def _traverse_multipop_impl(
             dl = jnp.minimum(vals, -margin)
             dr = jnp.minimum(vals, margin)
             # popped lanes: split -> left child at dl, else drain to -inf
-            pop_val = jnp.where(is_split, dl, -_INF)
-            eq_q = q_iota[:, None] == idxs[None, :]  # [q_cap, P]
-            hit_q = jnp.any(eq_q, axis=1)
-            sel_q = jnp.argmax(eq_q, axis=1)
-            pq_dist = jnp.where(hit_q, pop_val[sel_q], pq_dist)
-            pq_node = jnp.where(hit_q & is_split[sel_q], rows[sel_q, 1], pq_node)
-            # pushes: right children appended at n_pushed + prefix positions
-            ppos = n_pushed + jnp.cumsum(is_split.astype(jnp.int32)) - is_split
-            eq_p = (q_iota[:, None] == ppos[None, :]) & is_split[None, :]
-            hit_p = jnp.any(eq_p, axis=1)
-            sel_p = jnp.argmax(eq_p, axis=1)
-            pq_dist = jnp.where(hit_p, dr[sel_p], pq_dist)
-            pq_node = jnp.where(hit_p, rows[sel_p, 2], pq_node)
-            n_pushed = n_pushed + jnp.sum(is_split.astype(jnp.int32))
+            pop_val = jnp.where(is_split, dl, -_INF)  # [P]
+            pop_mask = l_grid[None, :] == arg[:, None]  # [P, L] single mask
+            pq_dist = jnp.where(pop_mask, pop_val[:, None], grid).reshape(q_cap)
+            node_grid = pq_node.reshape(P, L)
+            # non-split pops keep their node value (their dist is -inf,
+            # so the lane is dead and the value never read)
+            pop_node = jnp.where(is_split, rows[:, 1], nids)  # [P]
+            pq_node = jnp.where(pop_mask, pop_node[:, None], node_grid).reshape(q_cap)
+
+            # pushes: right children at contiguous LOGICAL slots from
+            # n_pushed (round-robin across segments via k_of_j)
+            csum_s = jnp.cumsum(is_split.astype(jnp.int32))
+            ns = csum_s[P - 1]
+            rank_s = jnp.searchsorted(csum_s, p_iota + 1, side="left").astype(
+                jnp.int32
+            )  # [P] lane of the r-th split
+            j_rel = k_of_j - n_pushed
+            in_push = (j_rel >= 0) & (j_rel < ns)
+            lane_p = rank_s[jnp.clip(j_rel, 0, P - 1)]  # [q_cap] from [P] table
+            pq_dist = jnp.where(in_push, dr[lane_p], pq_dist)
+            pq_node = jnp.where(in_push, rows[lane_p, 2], pq_node)
+            n_pushed = n_pushed + ns
 
             n_alive = jnp.sum(alive.astype(jnp.int32))
             pops = jnp.where(n_alive > 0, pops + n_alive, jnp.int32(pmax))
@@ -651,7 +684,11 @@ def _rescore_matmul_scan_impl(
             d = -dots
         mc = jax.lax.dynamic_slice(mask, (0, base), (b, chunk))
         d = jnp.where(mc, d, _INF)
-        neg, idx_c = jax.lax.top_k(-d, kk)
+        # approx_max_k, not top_k: a [B, chunk] sort per chunk cost
+        # ~250 ms/batch at 1.18M on chip; the tiled partial reduction's
+        # rare misses sit at rank ~kk >> k and the exact final pass
+        # re-ranks the winners anyway
+        neg, idx_c = jax.lax.approx_max_k(-d, kk, recall_target=0.99)
         return None, (-neg, idx_c + base)
 
     _, (d_all, idx_all) = jax.lax.scan(
@@ -706,7 +743,8 @@ _RESCORE_MASK_BYTES = 512 << 20
 #: [B, M] f32 budget above which the re-score must stream chunks
 _RESCORE_MATRIX_BYTES = 1 << 30
 
-#: optimistic pop budget for the two-tier traversal: the mean observed
+#: optimistic pop budget for the two-tier traversal, in units of
+#: EXPECTED leaf pops (search_k / mean leaf size): the mean observed
 #: split-pops-per-needed-leaf-pop is ~12 on clustered corpora; x32 plus
 #: slack makes the device-side fallback to the full budget rare
 _SMALL_POPS_MULT = 32
@@ -726,8 +764,13 @@ def _two_tier_impl(
     argument (a closure capture would bake GBs of constants into the
     executable)."""
 
-    def trav(pm, qc):
-        if P > 1:
+    def trav(pm, qc, use_p):
+        # multi-pop only on the optimistic (small-queue) tier: its
+        # [q_cap, P] one-hot update matrices scale with queue width, and
+        # at full budget (hundreds of thousands of lanes at 1M+) they
+        # would dominate memory/bandwidth — the rare fallback stays
+        # single-pop instead
+        if use_p and P > 1:
             return _traverse_multipop_impl(
                 metric, sk, pm, max_leaf, P, node_table, normals, aux,
                 leaf_off, leaf_cnt, leaf_items, roots, qv, qf, sk_dyn,
@@ -754,13 +797,13 @@ def _two_tier_impl(
             metric, dims, k, rows, norms, extras, slot_to_id, cand, qv, qn, qe
         )
 
-    log_s, pops_s, ncand_s = trav(pmax_small, q_cap_small)
+    log_s, pops_s, ncand_s = trav(pmax_small, q_cap_small, True)
     truncated = jnp.any((pops_s >= pmax_small) & (ncand_s < sk_dyn))
     # the cond selects between the tiny [B, l_cap] leaf logs only; the
     # expansion + re-score (the big buffers) run ONCE on the winner
     log = jax.lax.cond(
         truncated,
-        lambda _: trav(pmax, q_cap)[0],
+        lambda _: trav(pmax, q_cap, False)[0],
         lambda _: log_s,
         None,
     )
@@ -969,15 +1012,30 @@ def make_search_fn(
 
     # Two-tier traversal: the per-pop cost is O(q_cap) lane-wide selects,
     # and the always-safe q_cap (every split poppable once) is 10-100x
-    # the pops a real query needs.  Run an optimistic small-queue pass
-    # sized from the leaf distribution; if any query truncated (pop cap
-    # hit before search_k candidates), a device-side lax.cond re-runs the
-    # batch through the full-capacity path — results stay bit-identical
-    # to the single-tier engine, with no host sync in the serving path.
-    pmax_small = min(
-        pmax, _SMALL_POPS_MULT * idx.max_leaf_pops(sk_exact) + _SMALL_POPS_PAD
-    )
+    # the pops a real query needs.  Run an optimistic small-queue pass;
+    # if any query truncated (pop cap hit before search_k candidates), a
+    # device-side lax.cond re-runs the batch through the full-capacity
+    # path — results stay bit-identical to the single-tier engine, with
+    # no host sync in the serving path.
+    #
+    # The optimistic budget is EXPECTATION-based: pops to reach sk with
+    # mean-sized leaves, x32 headroom (observed split-pops per leaf pop
+    # is ~12 on clustered corpora).  The smallest-leaves-first bound the
+    # fallback uses is 10-30x bigger on mixed-leaf forests (e.g. 1.18M
+    # x 100: ~96k-lane queues vs ~3.5k), and queue width is the per-
+    # iteration cost.
+    if idx.leaf_cum_np is not None and len(idx.leaf_cum_np):
+        mean_leaf = float(idx.leaf_cum_np[-1]) / len(idx.leaf_cum_np)
+    else:
+        mean_leaf = float(max(idx.max_leaf, 1))
+    exp_leaf_pops = int(np.ceil(sk_exact / max(mean_leaf, 1.0)))
+    pmax_small = min(pmax, _SMALL_POPS_MULT * exp_leaf_pops + _SMALL_POPS_PAD)
     two_tier = (not has_filter) and trav != "pallas" and pmax_small < pmax // 2
+    if not two_tier:
+        # single-tier runs at the full queue width, where the multipop
+        # [q_cap, P] update matrices would dominate memory (they fault
+        # the device at 590k x 16 x B) — strict single-pop there
+        P = 1
     q_cap_small = t + min(pmax_small, idx.n_splits) + 1 + max(P - 1, 0)
 
     def _traverse_x(qv, qf, pm, qc):

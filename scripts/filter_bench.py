@@ -82,7 +82,10 @@ def main():
         log(f"build: {time.perf_counter() - t0:.1f}s  (m={m}, d={d}, trees={n_trees})")
     r = Reader.open(db.read(), 0, db)
 
-    exact_all = r.exact_by_vectors(queries[: min(batch, 64)], m if m <= 200_000 else 1)
+    # oracle depth: enough of the exact ranking that intersecting with a
+    # 1% filter still leaves >= count ground-truth items per query
+    depth = m if m <= 200_000 else max(5_000, 200 * count)
+    exact_all = r.exact_by_vectors(queries[: min(batch, 64)], depth)
     nq = min(batch, 64)
 
     def run(name, cand_ids, engine="forest"):
