@@ -1,0 +1,356 @@
+"""Leaf-probe serving engine: centroid-ranked block probing of the forest.
+
+TPU-first replacement for the best-first pop loop at large corpus sizes.
+The reference's query walks a global priority queue of hyperplane
+margins, popping one node at a time until `search_k` candidates are
+gathered (reference: src/reader.rs:317-401).  On TPU that loop is
+latency-bound (hundreds of serial, scatter/gather-heavy iterations:
+measured 96 ms traverse + 261 ms leaf expansion + 95 ms candidate
+scatter per 256-query batch at 1.18M x 100, sk=20000 — ~551 qps).
+
+This engine keeps the forest's partition but replaces the *order* in
+which it is searched:
+
+1. Each of the first T trees' leaves is cut into fixed-size P-item
+   blocks (leaf-aligned: blocks never straddle a leaf; leaves larger
+   than P are split, the tail is padded).  Block member rows are stored
+   contiguously ([NB, P, d], optionally bfloat16), one copy per probe
+   tree, with a per-block centroid.
+2. A query ranks ALL blocks of each tree with ONE centroid matmul and
+   takes the top-L blocks per tree (`search_k ≈ T·L·P` keeps arroy's
+   candidate-budget semantics).
+3. The selected blocks are fetched as contiguous DMA slices and scored
+   with one batched matmul; a top-k2 cut, an exact f32 re-score, and a
+   slot-dedup produce the final top-k.
+
+Deviation (documented, PARITY.md): candidate selection is by centroid
+similarity per tree instead of global best-first margin order.  Recall
+at equal candidate budget was measured within a few points of the
+strict traversal on a 1.18M x 100 clustered corpus (see
+scripts/leafprobe_experiment.py and results/leafprobe_r03.log), while
+every stage is a dense MXU/DMA operation.  Multi-tree union is what
+makes the forest earn its keep: disagreeing trees cover each other's
+cell-boundary misses — single-tree probing needs ~4x the candidates
+for the same recall.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.forest import KIND_LEAF, KIND_SPLIT, KIND_SPLIT_NONE
+
+_INF = jnp.float32(jnp.inf)
+_EPS = jnp.float32(1e-30)
+
+#: default probe geometry (overridable per Searcher / env).  More probe
+#: trees at a fixed gathered-slot budget is measured strictly better
+#: (1.18M x 100: T=8 L=64 0.977 vs T=4 L=128 0.947 at 32.8k slots —
+#: results/leafprobe_r03.log), so "auto" takes as many trees as the
+#: block-table HBM budget allows, up to 8.
+DEFAULT_TREES = os.environ.get("ARROY_PROBE_TREES", "auto")
+DEFAULT_BLOCK = int(os.environ.get("ARROY_PROBE_BLOCK", 64))
+#: HBM budget for the duplicated block tables (bf16 rows); per-tree cost
+#: is ~1.3 x n_items x dims x itemsize (leaf-padding fill ~0.78)
+PROBE_BYTES = int(os.environ.get("ARROY_PROBE_BYTES", 4 << 30))
+
+
+def auto_trees(idx, dtype: str) -> int:
+    isize = 2 if dtype == "bf16" else 4
+    per_tree = max(int(1.3 * idx.n_items * idx.dims * isize), 1)
+    return max(2, min(PROBE_BYTES // per_tree, 8))
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclass(frozen=True)
+class ProbeTables:
+    """Device-resident block tables for T probe trees (leaf-aligned)."""
+
+    n_trees: int
+    block: int
+    nb_max: int  # blocks per tree, padded
+    fill: float  # real slots / (NB*P) — leaf-padding density
+    cent: jnp.ndarray  # [T*nb_max, sd] f32 block centroids
+    caux: jnp.ndarray  # [T*nb_max] f32 centroid score term (‖c‖² or 0)
+    valid: jnp.ndarray  # [T*nb_max] bool
+    blk_rows: jnp.ndarray  # [T*nb_max, P, sd] item rows (bf16 or f32)
+    blk_aux: jnp.ndarray  # [T*nb_max, P] per-item score term
+    blk_slots: jnp.ndarray  # [T*nb_max, P] int32 slots, -1 pad
+
+    def nbytes(self) -> int:
+        total = 0
+        for f in (self.cent, self.caux, self.valid, self.blk_rows,
+                  self.blk_aux, self.blk_slots):
+            total += int(np.prod(f.shape)) * f.dtype.itemsize
+        return total
+
+
+def supports(metric) -> bool:
+    return not metric.binary
+
+
+def _tree_leaves(forest, root: int) -> list[np.ndarray]:
+    """Leaf member-id arrays of one tree in DFS order."""
+    out: list[np.ndarray] = []
+    stack = [int(root)]
+    kind, left, right = forest.kind, forest.left, forest.right
+    while stack:
+        nid = stack.pop()
+        k = kind[nid]
+        if k == KIND_LEAF:
+            out.append(forest.leaves[nid])
+        elif k in (KIND_SPLIT, KIND_SPLIT_NONE):
+            stack.append(int(right[nid]))
+            stack.append(int(left[nid]))
+    return out
+
+
+def build_tables(
+    metric, dims: int, store, forest, n_trees: int, block: int, dtype: str = "bf16"
+) -> ProbeTables:
+    """Host-side pack of the probe block tables (one upload per searcher
+    geometry; cached on the DeviceIndex by `get_tables`)."""
+    import ml_dtypes
+
+    P = int(block)
+    T = max(1, min(int(n_trees), len(forest.roots)))
+    rows = store.rows()
+    norms = store.norms()
+    sd = rows.shape[1] if rows.ndim == 2 else dims
+
+    name = metric.name
+    per_tree: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    nb_max = 1
+    for root in forest.roots[:T]:
+        leaves = _tree_leaves(forest, root)
+        blks = []
+        for ids in leaves:
+            if not len(ids):
+                continue
+            slots = store.slots_of(ids).astype(np.int64)
+            nsub = -(-len(slots) // P)
+            pad = np.full(nsub * P, -1, np.int64)
+            pad[: len(slots)] = slots
+            blks.append(pad.reshape(nsub, P))
+        blk = (
+            np.concatenate(blks, axis=0)
+            if blks
+            else np.full((1, P), -1, np.int64)
+        )
+        nb = blk.shape[0]
+        nb_max = max(nb_max, nb)
+        safe = np.maximum(blk, 0)
+        mask = (blk >= 0).astype(np.float32)[:, :, None]
+        if name == "cosine":
+            # spherical centroid: normalized mean of unit member rows
+            unit = rows[safe] / np.maximum(norms[safe], 1e-30)[:, :, None]
+            cent = (unit * mask).sum(axis=1)
+            cn = np.linalg.norm(cent, axis=1)
+            cent = cent / np.maximum(cn, 1e-30)[:, None]
+            caux = np.zeros(nb, np.float32)
+        else:
+            # euclidean / manhattan / dot-product: mean of raw rows;
+            # euclidean-family ranks blocks by 2·q·c − ‖c‖²
+            cnt = np.maximum(mask.sum(axis=1), 1.0)
+            cent = (rows[safe] * mask).sum(axis=1) / cnt
+            caux = (
+                np.einsum("nd,nd->n", cent, cent).astype(np.float32)
+                if name in ("euclidean", "manhattan")
+                else np.zeros(nb, np.float32)
+            )
+        per_tree.append((blk, cent.astype(np.float32), caux))
+
+    cent_all = np.zeros((T * nb_max, sd), np.float32)
+    caux_all = np.zeros(T * nb_max, np.float32)
+    valid_all = np.zeros(T * nb_max, bool)
+    slots_all = np.full((T * nb_max, P), -1, np.int32)
+    for t, (blk, cent, caux) in enumerate(per_tree):
+        nb = blk.shape[0]
+        cent_all[t * nb_max : t * nb_max + nb] = cent
+        caux_all[t * nb_max : t * nb_max + nb] = caux
+        valid_all[t * nb_max : t * nb_max + nb] = True
+        slots_all[t * nb_max : t * nb_max + nb] = blk.astype(np.int32)
+
+    safe = np.maximum(slots_all, 0)
+    live = slots_all >= 0
+    brows = rows[safe.reshape(-1)].reshape(T * nb_max, P, sd)
+    brows[~live] = 0
+    if name == "euclidean" or name == "manhattan":
+        baux = (norms[safe] ** 2).astype(np.float32)
+    elif name == "cosine":
+        baux = norms[safe].astype(np.float32)
+    else:
+        baux = np.zeros((T * nb_max, P), np.float32)
+    baux[~live] = 0.0
+
+    if dtype == "bf16":
+        brows = brows.astype(ml_dtypes.bfloat16)
+    else:
+        brows = brows.astype(np.float32)
+
+    n_real = int((slots_all >= 0).sum())
+    return ProbeTables(
+        n_trees=T,
+        block=P,
+        nb_max=nb_max,
+        fill=max(n_real / float(slots_all.size), 1e-6),
+        cent=jnp.asarray(cent_all),
+        caux=jnp.asarray(caux_all),
+        valid=jnp.asarray(valid_all),
+        blk_rows=jnp.asarray(brows),
+        blk_aux=jnp.asarray(baux),
+        blk_slots=jnp.asarray(slots_all),
+    )
+
+
+def get_tables(idx, state, n_trees: int, block: int, dtype: str) -> ProbeTables:
+    """Cached probe tables on the (frozen) DeviceIndex instance."""
+    cache = getattr(idx, "_probe_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(idx, "_probe_cache", cache)
+    key = (int(n_trees), int(block), dtype)
+    hit = cache.get(key)
+    if hit is None:
+        hit = build_tables(
+            idx.metric, idx.dims, state.store, state.forest, n_trees, block, dtype
+        )
+        cache[key] = hit
+    return hit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k", "k2", "L", "nb_max", "scale")
+)
+def _probe_impl(
+    metric, dims, k, k2, L, nb_max, scale,
+    cent, caux, valid, blk_rows, blk_aux, blk_slots,
+    rows, norms, extras, slot_to_id,
+    qv, qn, qe,
+):
+    name = metric.name
+    b = qv.shape[0]
+    T = cent.shape[0] // nb_max
+    P = blk_rows.shape[1]
+
+    # 1. rank all blocks of each probe tree with one matmul
+    dots = jax.lax.dot_general(
+        qv, cent, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [B, T*nb_max]
+    score = jnp.float32(scale) * dots - caux[None, :]
+    score = jnp.where(valid[None, :], score, -_INF)
+    score3 = score.reshape(b, T, nb_max)
+    _, topL = jax.lax.top_k(score3, L)  # [B, T, L]
+    base = (jnp.arange(T, dtype=jnp.int32) * nb_max)[None, :, None]
+    bid = (topL + base).reshape(b, T * L)  # [B, C]
+
+    # 2. fetch the selected blocks (contiguous DMA slices) and score
+    blocks = blk_rows[bid]  # [B, C, P, sd]
+    baux = blk_aux[bid]  # [B, C, P]
+    bslot = blk_slots[bid]  # [B, C, P]
+    d2 = jnp.einsum(
+        "bcpd,bd->bcp",
+        blocks,
+        qv.astype(blk_rows.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if name == "euclidean" or name == "manhattan":
+        s2 = 2.0 * d2 - baux
+    elif name == "cosine":
+        s2 = d2 / jnp.maximum(baux, _EPS)
+    else:
+        s2 = d2
+    s2 = jnp.where(bslot >= 0, s2, -_INF)
+    C = T * L * P
+    s2f = s2.reshape(b, C)
+    slotf = bslot.reshape(b, C)
+    if k2 < C:
+        sel_s, sel_i = jax.lax.approx_max_k(s2f, k2, recall_target=0.99)
+        cand = jnp.take_along_axis(slotf, sel_i, axis=1)
+    else:
+        sel_s, cand = s2f, slotf
+
+    # 3. exact f32 re-score of the k2 winners + slot-dedup + top-k
+    cs = jnp.maximum(cand, 0)
+    x = rows[cs].astype(jnp.float32)
+    xn = norms[cs]
+    xe = extras[cs]
+    d = metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
+    d = jnp.where((cand >= 0) & (sel_s > -_INF), d, _INF)
+    order = jnp.argsort(cand, axis=1)
+    ss = jnp.take_along_axis(cand, order, axis=1)
+    sd_ = jnp.take_along_axis(d, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), ss[:, 1:] == ss[:, :-1]], axis=1
+    )
+    sd_ = jnp.where(dup, _INF, sd_)
+    neg, top_i = jax.lax.top_k(-sd_, k)
+    out_d = -neg
+    ids = slot_to_id[jnp.maximum(jnp.take_along_axis(ss, top_i, axis=1), 0)]
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    ids = jnp.where(jnp.isnan(out_d), jnp.uint32(0), ids)
+    return ids, out_d
+
+
+def make_probe_fn(
+    idx,
+    state,
+    count: int,
+    search_k: int,
+    n_trees: int | str = "auto",
+    block: int | str = "auto",
+    dtype: str = "auto",
+):
+    """Bind a leaf-probe serving fn: ``fn(qv, qn, qe, qf) -> (ids, dists)``.
+
+    ``search_k`` keeps arroy's candidate-budget semantics: the probe
+    touches ``T·L·P ≈ search_k`` item slots (L = per-tree probed
+    blocks).  Filters are not handled here — `make_search_fn` routes
+    filtered searches to the masked exact engine first.
+    """
+    if not supports(idx.metric):
+        raise ValueError("probe engine: binary-quantized metrics unsupported")
+    if dtype == "auto":
+        dtype = os.environ.get("ARROY_PROBE_DTYPE", "bf16")
+    if n_trees == "auto":
+        n_trees = DEFAULT_TREES
+    T = auto_trees(idx, dtype) if n_trees == "auto" else int(n_trees)
+    T = max(1, min(T, len(idx.roots)))
+    P = DEFAULT_BLOCK if block == "auto" else int(block)
+    tabs = get_tables(idx, state, T, P, dtype)
+    nb_max = tabs.nb_max
+    # search_k counts REAL candidate slots (arroy's budget semantics):
+    # scale the probed-block count by the leaf-padding fill
+    eff = max(int(T * P * tabs.fill), 1)
+    L = max(1, min(-(-int(search_k) // eff), nb_max))
+    k = max(1, int(count))
+    # generous exact-rescore cut: the [B, k2] final gather is cheap and
+    # washes out bf16 selection noise + cross-tree duplicates occupying
+    # k2 slots (dup rate ~20-30% at T=4..8)
+    k2 = min(_next_pow2(max(32 * k, 512)), T * L * P)
+    scale = 2 if idx.metric.name in ("euclidean", "manhattan") else 1
+
+    def fn(qv, qn, qe, qf):
+        return _probe_impl(
+            idx.metric, idx.dims, k, int(k2), int(L), int(nb_max), int(scale),
+            tabs.cent, tabs.caux, tabs.valid,
+            tabs.blk_rows, tabs.blk_aux, tabs.blk_slots,
+            idx.rows, idx.norms, idx.extras, idx.slot_to_id,
+            qv, qn, qe,
+        )
+
+    return fn

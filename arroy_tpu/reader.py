@@ -208,6 +208,8 @@ class Searcher:
         engine: str = "auto",
         precision: str = "auto",
         multipop="auto",
+        probe_trees="auto",
+        probe_block="auto",
     ):
         import os
 
@@ -256,6 +258,9 @@ class Searcher:
                 rescore=rescore,
                 traversal=traversal,
                 multipop=multipop,
+                state=reader._state,
+                probe_trees=probe_trees,
+                probe_block=probe_block,
             )
         self._dev = dev
 
@@ -359,6 +364,8 @@ class Reader:
         engine: str = "auto",
         precision: str = "auto",
         multipop="auto",
+        probe_trees="auto",
+        probe_block="auto",
     ) -> "Searcher":
         """A bound, compiled serving handle (the TPU-native hot path).
 
@@ -378,6 +385,13 @@ class Reader:
         fewer serial loop steps with a slightly different candidate
         stream (measured recall guard in tests).  "auto" = 1 below 262k
         items, 16 above.
+
+        ``traversal="probe"`` (forest engine): the leaf-probe serving
+        mode — rank each probe tree's leaf blocks by centroid similarity
+        with one matmul and re-score the top blocks (`probe.py`); a
+        documented deviation from strict best-first order that removes
+        every serial loop from the query path.  ``probe_trees`` /
+        ``probe_block`` tune the probed-tree count and block size.
         """
         qb = QueryBuilder(self, count)
         if search_k is not None:
@@ -389,6 +403,7 @@ class Reader:
         return Searcher(
             self, qb, rescore=rescore, traversal=traversal,
             engine=engine, precision=precision, multipop=multipop,
+            probe_trees=probe_trees, probe_block=probe_block,
         )
 
     # -- exact search oracle --------------------------------------------

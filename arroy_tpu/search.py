@@ -862,6 +862,15 @@ def traversal_mode(idx: DeviceIndex, has_filter: bool, pmax: int, search_k: int,
     want = (want or "auto").lower()
     if want == "auto":
         want = os.environ.get("ARROY_TRAVERSAL", "auto").lower()
+    if want == "probe":
+        from . import probe as _probe
+
+        # the leaf-probe engine (probe.py) replaces the pop loop with
+        # centroid-ranked block probing; filtered searches and BQ
+        # metrics stay on the classic paths
+        if not has_filter and _probe.supports(idx.metric):
+            return "probe"
+        return "xla"
     if want != "pallas" or has_filter:
         return "xla"
     t = max(len(idx.roots), 1)
@@ -880,6 +889,9 @@ def make_search_fn(
     rescore: str = "exact",
     traversal: str = "auto",
     multipop="auto",
+    state=None,
+    probe_trees="auto",
+    probe_block="auto",
 ):
     """Return a device-resident search callable (the serving hot path).
 
@@ -980,6 +992,16 @@ def make_search_fn(
     roots = jnp.asarray(np.asarray(idx.roots, np.int32))
     sk_dyn = jnp.int32(sk_exact)
     trav = traversal_mode(idx, has_filter, pmax, int(sk), traversal)
+    if trav == "probe":
+        if state is None:
+            trav = "xla"  # no host snapshot to build block tables from
+        else:
+            from .probe import make_probe_fn
+
+            return make_probe_fn(
+                idx, state, count, sk_exact,
+                n_trees=probe_trees, block=probe_block,
+            )
     if trav == "pallas":
         P = 1
     if trav == "pallas":

@@ -1,0 +1,140 @@
+"""Leaf-probe serving engine (probe.py): recall, dedup, metric coverage.
+
+The probe engine is a documented deviation from the reference's
+best-first traversal (PARITY.md): candidate selection is by per-tree
+centroid-ranked blocks.  These tests pin (a) recall against the exact
+oracle at a generous candidate budget, (b) no duplicate ids in results,
+(c) parity of the result FORMAT with the classic engine, (d) behavior
+across metrics and corpus edge cases.
+"""
+
+import numpy as np
+import pytest
+
+from arroy_tpu import Database, Reader, Writer
+
+
+def _build(m=3000, dims=32, trees=8, metric="euclidean", seed=7):
+    rng = np.random.default_rng(seed)
+    parents = rng.standard_normal((16, dims)).astype(np.float32)
+    pa, pb = rng.integers(16, size=m), rng.integers(16, size=m)
+    mask = rng.random((m, dims)) < 0.5
+    x = np.where(mask, parents[pa], parents[pb]).astype(np.float32)
+    x += 0.05 * rng.standard_normal((m, dims)).astype(np.float32)
+    db = Database()
+    w = Writer(db, 0, dims, metric=metric)
+    with db.write() as t:
+        w.add_items(t, np.arange(m, dtype=np.uint32), x)
+        w.builder(seed=seed).n_trees(trees).build(t)
+    r = Reader.open(db.read(), 0, db, metric=metric)
+    q = x[rng.integers(m, size=64)] + 0.01 * rng.standard_normal(
+        (64, dims)
+    ).astype(np.float32)
+    return db, r, q
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot-product"])
+def test_probe_recall_vs_oracle(metric):
+    db, r, q = _build(metric=metric)
+    exact = r.exact_by_vectors(q, 10)
+    ex = [set(i for i, _ in row) for row in exact]
+    s = r.searcher(10, search_k=1200, engine="forest", traversal="probe",
+                   probe_trees=4, probe_block=16)
+    got = s(q)
+    rec = np.mean([len(set(i for i, _ in g) & e) / 10 for g, e in zip(got, ex)])
+    assert rec >= 0.9, f"{metric}: probe recall {rec}"
+
+
+def test_probe_manhattan_l2_selection():
+    # manhattan ranks blocks/slots by the L2 proxy then re-scores exact
+    # L1 — recall bar is lower but must still be useful
+    db, r, q = _build(metric="manhattan")
+    exact = r.exact_by_vectors(q, 10)
+    ex = [set(i for i, _ in row) for row in exact]
+    s = r.searcher(10, search_k=1500, engine="forest", traversal="probe",
+                   probe_trees=4, probe_block=16)
+    got = s(q)
+    rec = np.mean([len(set(i for i, _ in g) & e) / 10 for g, e in zip(got, ex)])
+    assert rec >= 0.8, f"manhattan probe recall {rec}"
+
+
+def test_probe_no_duplicate_ids():
+    db, r, q = _build(trees=6)
+    s = r.searcher(20, search_k=2000, engine="forest", traversal="probe",
+                   probe_trees=6, probe_block=16)
+    for row in s(q):
+        ids = [i for i, _ in row]
+        assert len(ids) == len(set(ids))
+
+
+def test_probe_distances_match_reference_formulas():
+    db, r, q = _build(metric="cosine")
+    s = r.searcher(5, search_k=2000, engine="forest", traversal="probe",
+                   probe_trees=4, probe_block=16)
+    exact = {
+        (qi, i): d
+        for qi, row in enumerate(r.exact_by_vectors(q, 3000))
+        for i, d in row
+    }
+    for qi, row in enumerate(s(q)):
+        for i, d in row:
+            assert abs(d - exact[(qi, i)]) < 1e-4
+
+
+def test_probe_sorted_ascending():
+    db, r, q = _build()
+    s = r.searcher(10, search_k=1000, engine="forest", traversal="probe",
+                   probe_block=16)
+    for row in s(q):
+        ds = [d for _, d in row]
+        assert ds == sorted(ds)
+
+
+def test_probe_tiny_corpus_and_few_trees():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((40, 8)).astype(np.float32)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as t:
+        w.add_items(t, np.arange(40, dtype=np.uint32), x)
+        w.builder(seed=3).n_trees(2).build(t)
+    r = Reader.open(db.read(), 0, db)
+    s = r.searcher(5, search_k=40, engine="forest", traversal="probe",
+                   probe_trees=8, probe_block=16)
+    exact = r.exact_by_vectors(x[:8], 5)
+    got = s(x[:8])
+    for g, e in zip(got, exact):
+        assert set(i for i, _ in g) == set(i for i, _ in e)
+
+
+def test_probe_bq_metric_falls_back():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((500, 32)).astype(np.float32)
+    db = Database()
+    w = Writer(db, 0, 32, metric="binary quantized cosine")
+    with db.write() as t:
+        w.add_items(t, np.arange(500, dtype=np.uint32), x)
+        w.builder(seed=5).n_trees(4).build(t)
+    r = Reader.open(db.read(), 0, db, metric="binary quantized cosine")
+    # probe unsupported for BQ: traversal_mode resolves to the XLA loop
+    s = r.searcher(10, search_k=500, engine="forest", traversal="probe")
+    out = s(x[:4])
+    assert all(len(row) == 10 for row in out)
+
+
+def test_probe_search_k_scales_candidates():
+    db, r, q = _build()
+    lo = r.searcher(10, search_k=64, engine="forest", traversal="probe",
+                    probe_block=16)
+    hi = r.searcher(10, search_k=3000, engine="forest", traversal="probe",
+                    probe_block=16)
+    exact = r.exact_by_vectors(q, 10)
+    ex = [set(i for i, _ in row) for row in exact]
+    rec_lo = np.mean(
+        [len(set(i for i, _ in g) & e) / 10 for g, e in zip(lo(q), ex)]
+    )
+    rec_hi = np.mean(
+        [len(set(i for i, _ in g) & e) / 10 for g, e in zip(hi(q), ex)]
+    )
+    assert rec_hi >= rec_lo
+    assert rec_hi >= 0.95
