@@ -405,7 +405,9 @@ class BuildContext:
                 self.slot_to_id,
             )
         uniq = np.unique(np.asarray(slots, np.int64))
-        rows = jnp.asarray(self.rows_np[uniq])
+        from .models.items import _staged_rows_put
+
+        rows = _staged_rows_put(self.rows_np[uniq])
         extras = jnp.asarray(self.extras_np[uniq])
         hnorms = jnp.asarray(self.hnorms_np[uniq])
 

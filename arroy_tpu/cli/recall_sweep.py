@@ -50,6 +50,13 @@ def main(argv=None):
         help="forest pops per traversal iteration (1 = strict best-first, "
         "auto = 16 past 262k items; see PARITY.md deviation 11)",
     )
+    ap.add_argument(
+        "--traversal", default="auto",
+        help="forest traversal mode: auto | xla | pallas | probe "
+        "(probe = centroid-ranked leaf-block probing, see probe.py)",
+    )
+    ap.add_argument("--probe-trees", default="auto")
+    ap.add_argument("--probe-block", default="auto")
     args = ap.parse_args(argv)
 
     import jax
@@ -146,9 +153,14 @@ def main(argv=None):
         args.count * args.n_trees * f for f in (1, 5, 20, 50, 100, 200)
     ]
     mp = args.multipop if args.multipop == "auto" else int(args.multipop)
+    pt = args.probe_trees if args.probe_trees == "auto" else int(args.probe_trees)
+    pb = args.probe_block if args.probe_block == "auto" else int(args.probe_block)
     for sk in points:
         measure(
-            r.searcher(args.count, search_k=sk, engine="forest", multipop=mp),
+            r.searcher(
+                args.count, search_k=sk, engine="forest", multipop=mp,
+                traversal=args.traversal, probe_trees=pt, probe_block=pb,
+            ),
             f"search_k={sk:>7}",
         )
     if args.exact_point:

@@ -33,6 +33,77 @@ _EPOCHS = itertools.count(1)
 _DEVICE_MIRROR: "OrderedDict[int, tuple]" = OrderedDict()
 _DEVICE_MIRROR_CAP = 4
 
+#: staged-upload knobs: the dev tunnel transiently degrades 10-25x for
+#: ~a minute at a time (results/incremental_r02.log measured the same
+#: cold insert at 32s vs 432s).  Large host->device transfers therefore
+#: go up in chunks; when a chunk's throughput collapses vs the best
+#: observed, we *pause* (the transient usually passes) instead of
+#: crawling through the degraded window, up to a bounded backoff budget.
+_UPLOAD_CHUNK_BYTES = int(
+    float(os.environ.get("ARROY_UPLOAD_CHUNK_MB", 16)) * (1 << 20)
+)
+_TUNNEL_BACKOFF_S = float(os.environ.get("ARROY_TUNNEL_BACKOFF_S", 45))
+_STAGED_MIN_BYTES = 64 << 20  # small transfers skip the machinery
+
+
+def _staged_rows_put(host: np.ndarray, scatter_into=None, idx: np.ndarray = None):
+    """Upload `host` rows in timed chunks with degradation backoff.
+
+    Plain mode returns a device array equal to ``jnp.asarray(host)``;
+    scatter mode returns ``scatter_into.at[idx].set(host[idx])``.  Chunks
+    whose measured throughput drops below 1/8 of the best observed (and
+    take >2s) trigger a short sleep before the next chunk — re-probing
+    until the tunnel recovers or the backoff budget is spent.
+    """
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    sel = host if idx is None else host[idx]
+    nbytes = sel.nbytes
+    if nbytes < _STAGED_MIN_BYTES:
+        if idx is None:
+            return jnp.asarray(host)
+        return scatter_into.at[idx].set(sel)
+    rows_per = max(_UPLOAD_CHUNK_BYTES // max(sel[0:1].nbytes, 1), 1)
+    n = sel.shape[0]
+    best_bps = 0.0
+    budget = _TUNNEL_BACKOFF_S
+    warned = False
+    parts = []
+    out = scatter_into
+    for off in range(0, n, rows_per):
+        chunk = np.ascontiguousarray(sel[off : off + rows_per])
+        t0 = time.perf_counter()
+        dev = jnp.asarray(chunk)
+        jax.block_until_ready(dev)
+        dt = max(time.perf_counter() - t0, 1e-9)
+        bps = chunk.nbytes / dt
+        best_bps = max(best_bps, bps)
+        if idx is None:
+            parts.append(dev)
+        else:
+            out = out.at[idx[off : off + rows_per]].set(dev)
+        degraded = dt > 2.0 and bps < best_bps / 8.0
+        if degraded and budget > 0 and off + rows_per < n:
+            if not warned:
+                print(
+                    f"arroy: upload tunnel degraded ({bps / 1e6:.1f} MB/s, "
+                    f"best {best_bps / 1e6:.1f}); pausing up to "
+                    f"{budget:.0f}s for it to recover",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                warned = True
+            pause = min(5.0, budget)
+            time.sleep(pause)
+            budget -= pause
+    if idx is None:
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out
+
 
 class ItemStore:
     """Mutable id→vector storage for one index."""
@@ -123,7 +194,7 @@ class ItemStore:
             and ent[1].shape[1] == self._rows.shape[1]
         )
         if not patchable:
-            rows = jnp.asarray(self._rows)
+            rows = _staged_rows_put(self._rows)
             norms = jnp.asarray(self._norms)
             extras = jnp.asarray(self._extras)
         else:
@@ -140,7 +211,7 @@ class ItemStore:
             if self._dirty:
                 idx = np.fromiter(self._dirty, np.int64, len(self._dirty))
                 idx.sort()
-                rows = rows.at[idx].set(self._rows[idx])
+                rows = _staged_rows_put(self._rows, scatter_into=rows, idx=idx)
                 norms = norms.at[idx].set(self._norms[idx])
                 extras = extras.at[idx].set(self._extras[idx])
         if self._epoch == 0:
