@@ -252,7 +252,14 @@ def _probe_impl(
     score = jnp.float32(scale) * dots - caux[None, :]
     score = jnp.where(valid[None, :], score, -_INF)
     score3 = score.reshape(b, T, nb_max)
-    _, topL = jax.lax.top_k(score3, L)  # [B, T, L]
+    # approx_max_k, not top_k: a full [B, T, nb] sort measured 67.8 ms
+    # vs 5.7 ms approximate at nb=28.5k on chip (results/
+    # probe_profile_r03.log); the ~2% of blocks it swaps are marginal
+    # ones whose members rarely reach the exact-re-scored top-k2
+    if L < nb_max:
+        _, topL = jax.lax.approx_max_k(score3, L, recall_target=0.95)
+    else:
+        _, topL = jax.lax.top_k(score3, L)  # [B, T, L]
     base = (jnp.arange(T, dtype=jnp.int32) * nb_max)[None, :, None]
     bid = (topL + base).reshape(b, T * L)  # [B, C]
 

@@ -74,22 +74,22 @@ def timeit(fn, *args, n=10, label=""):
 
 
 @jax.jit
-def rank_topk(qv):
+def _rank_topk(qv, cent, valid):
     dots = jax.lax.dot_general(
-        qv, tabs.cent, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qv, cent, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    score = jnp.where(tabs.valid[None, :], dots, -jnp.inf)
+    score = jnp.where(valid[None, :], dots, -jnp.inf)
     _, topL = jax.lax.top_k(score.reshape(B, T, nb_max), L)
     base = (jnp.arange(T, dtype=jnp.int32) * nb_max)[None, :, None]
     return (topL + base).reshape(B, T * L)
 
 
 @jax.jit
-def rank_approx(qv):
+def _rank_approx(qv, cent, valid):
     dots = jax.lax.dot_general(
-        qv, tabs.cent, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qv, cent, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    score = jnp.where(tabs.valid[None, :], dots, -jnp.inf)
+    score = jnp.where(valid[None, :], dots, -jnp.inf)
     _, topL = jax.lax.approx_max_k(
         score.reshape(B, T, nb_max), L, recall_target=0.95
     )
@@ -97,11 +97,19 @@ def rank_approx(qv):
     return (topL + base).reshape(B, T * L)
 
 
+def rank_topk(qv):
+    return _rank_topk(qv, tabs.cent, tabs.valid)
+
+
+def rank_approx(qv):
+    return _rank_approx(qv, tabs.cent, tabs.valid)
+
+
 @jax.jit
-def fetch_score(qv, bid):
-    blocks = tabs.blk_rows[bid]
-    baux = tabs.blk_aux[bid]
-    bslot = tabs.blk_slots[bid]
+def _fetch_score(qv, bid, blk_rows, blk_aux, blk_slots):
+    blocks = blk_rows[bid]
+    baux = blk_aux[bid]
+    bslot = blk_slots[bid]
     d2 = jnp.einsum(
         "bcpd,bd->bcp", blocks, qv.astype(tabs.blk_rows.dtype),
         preferred_element_type=jnp.float32,
@@ -114,12 +122,16 @@ def fetch_score(qv, bid):
     return sel_s, cand
 
 
+def fetch_score(qv, bid):
+    return _fetch_score(qv, bid, tabs.blk_rows, tabs.blk_aux, tabs.blk_slots)
+
+
 @jax.jit
-def rescore(qv, qn, qe, sel_s, cand):
+def _rescore(qv, qn, qe, sel_s, cand, rows, norms, extras):
     cs = jnp.maximum(cand, 0)
-    x = idx.rows[cs].astype(jnp.float32)
-    xn = idx.norms[cs]
-    xe = idx.extras[cs]
+    x = rows[cs].astype(jnp.float32)
+    xn = norms[cs]
+    xe = extras[cs]
     d = idx.metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
     d = jnp.where((cand >= 0) & (sel_s > -jnp.inf), d, jnp.inf)
     order = jnp.argsort(cand, axis=1)
@@ -129,6 +141,10 @@ def rescore(qv, qn, qe, sel_s, cand):
     sd_ = jnp.where(dup, jnp.inf, sd_)
     neg, top_i = jax.lax.top_k(-sd_, 10)
     return jnp.take_along_axis(ss, top_i, axis=1), -neg
+
+
+def rescore(qv, qn, qe, sel_s, cand):
+    return _rescore(qv, qn, qe, sel_s, cand, idx.rows, idx.norms, idx.extras)
 
 
 bid = timeit(rank_topk, qv, label="1. centroid rank (full top_k)")
