@@ -47,8 +47,8 @@ def main(argv=None):
     )
     ap.add_argument(
         "--multipop", default="auto",
-        help="forest pops per traversal iteration (1 = strict best-first, "
-        "auto = 16 past 262k items; see PARITY.md deviation 11)",
+        help="forest pops per traversal iteration (1 = strict best-first "
+        "= auto; see PARITY.md deviation 11)",
     )
     ap.add_argument(
         "--traversal", default="auto",

@@ -381,10 +381,10 @@ class Reader:
         traversal; ``engine="exact"`` forces brute force.
 
         ``multipop`` (forest engine): pops per traversal-loop iteration.
-        1 keeps the reference's strict best-first order; P>1 runs ~P×
-        fewer serial loop steps with a slightly different candidate
-        stream (measured recall guard in tests).  "auto" = 1 below 262k
-        items, 16 above.
+        1 keeps the reference's strict best-first order; P>1 runs fewer
+        serial loop steps with a slightly different candidate stream
+        (measured recall guard in tests) but was measured a large
+        on-chip regression at every scale, so "auto" = 1 always.
 
         ``traversal="probe"`` (forest engine): the leaf-probe serving
         mode — rank each probe tree's leaf blocks by centroid similarity

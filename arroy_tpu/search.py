@@ -496,10 +496,15 @@ _traverse_multipop = functools.partial(
     ),
 )(_traverse_multipop_impl)
 
-#: multipop="auto" resolution: corpora below this stay strict best-first
-#: (bit-exact reference order); above it the pop loop is latency-bound
-#: and P-wide pops win (override: ARROY_MULTIPOP=<P>|1)
-_MULTIPOP_MIN_ITEMS = 262_144
+#: multipop="auto" resolution: ALWAYS strict best-first.  The P-wide
+#: variant was measured a large regression on chip at every scale tried
+#: (1.18M x 100 sk=20000: P=16 serves 118 qps vs P=1's 1,309 —
+#: results/forest_probe_r03.log; the [P, L] segment-grid pop scans P
+#: lanes of selects per iteration and saves too few iterations to pay
+#: for them).  The knob stays for explicit experimentation
+#: (ARROY_MULTIPOP=<P> / multipop=P); the serving answer to the pop
+#: loop's serial latency is the leaf-probe engine (probe.py), not
+#: wider pops.
 _MULTIPOP_P = 16
 
 
@@ -508,7 +513,7 @@ def resolve_multipop(n_items: int, want="auto") -> int:
         env = os.environ.get("ARROY_MULTIPOP")
         if env is not None:
             return max(int(env), 1)
-        return _MULTIPOP_P if n_items > _MULTIPOP_MIN_ITEMS else 1
+        return 1
     return max(int(want), 1)
 
 
@@ -901,10 +906,10 @@ def make_search_fn(
     the engine; the ``QueryBuilder`` path adds host conversions per call.
 
     ``multipop``: pops per traversal iteration.  1 = the reference's
-    strict best-first order; P>1 batches P pops per step (the serial
-    latency of the pop loop drops ~P×, the candidate stream deviates
-    slightly — see `_traverse_multipop_impl`).  "auto" = 1 below 262k
-    items, 16 above (ARROY_MULTIPOP overrides).
+    strict best-first order; P>1 batches P pops per step with a
+    slightly different candidate stream — measured a regression on chip
+    at every scale (see `resolve_multipop`), so "auto" = 1 always
+    (ARROY_MULTIPOP overrides for experiments).
     """
     if idx.n_items == 0 or not idx.roots:
         def empty_fn(qv, qn, qe, qf):
