@@ -192,8 +192,10 @@ def test_multipop_exhaustive_matches_single_pop():
 def test_multipop_auto_resolution(monkeypatch):
     from arroy_tpu.search import resolve_multipop
 
+    # auto = strict best-first at every scale (on-chip measurement:
+    # P>1 is a large serving regression; results/forest_probe_r03.log)
     assert resolve_multipop(1000, "auto") == 1
-    assert resolve_multipop(300_000, "auto") == 16
+    assert resolve_multipop(300_000, "auto") == 1
     assert resolve_multipop(300_000, 4) == 4
     monkeypatch.setenv("ARROY_MULTIPOP", "2")
     assert resolve_multipop(1000, "auto") == 2
