@@ -850,6 +850,13 @@ def rescore_mode(metric, b: int, cap: int, m: int, want: str = "auto") -> str:
 # ---------------------------------------------------------------------------
 
 
+#: forest-engine traversal="auto" serves the leaf-probe engine at and
+#: above this corpus size (the scale class where the serial pop loop
+#: collapses on chip — results/probe_sweep_r03.log; below it the
+#: classic traversal is competitive and table duplication is unpaid)
+_PROBE_MIN_ITEMS = 262_144
+
+
 def traversal_mode(idx: DeviceIndex, has_filter: bool, pmax: int, search_k: int, want: str = "auto") -> str:
     """Resolve the traversal engine: the XLA while-loop or the Pallas
     VMEM-resident kernel (ops/pallas_traverse.py).
@@ -867,6 +874,13 @@ def traversal_mode(idx: DeviceIndex, has_filter: bool, pmax: int, search_k: int,
     want = (want or "auto").lower()
     if want == "auto":
         want = os.environ.get("ARROY_TRAVERSAL", "auto").lower()
+    if want == "auto" and idx.n_items >= _PROBE_MIN_ITEMS:
+        # measured policy (results/probe_sweep_r03.log): at 1.18M the
+        # leaf-probe engine serves 4,505 qps at recall 0.958 where the
+        # strict traversal serves 131 at equal recall; past the scale
+        # where the pop loop collapses, auto serves the probe engine
+        # (traversal="xla" keeps the bit-exact reference order)
+        want = "probe"
     if want == "probe":
         from . import probe as _probe
 
