@@ -131,10 +131,21 @@ def build_tables(
     sd = rows.shape[1] if rows.ndim == 2 else dims
 
     name = metric.name
+    # probe the T trees with the FEWEST blocks: any trees serve (the
+    # union is what buys recall), and the block table is padded to the
+    # largest probed tree, so skipping lopsided trees cuts nb_max — at
+    # 1.18M x 25 the first-8 choice padded to 28.5k blocks where the
+    # most balanced 8 pad to ~20k (-30% HBM and upload)
+    all_leaves = [_tree_leaves(forest, root) for root in forest.roots]
+    blocks_of = [
+        sum(-(-len(ids) // P) for ids in tree if len(ids))
+        for tree in all_leaves
+    ]
+    order = np.argsort(np.asarray(blocks_of, np.int64), kind="stable")[:T]
     per_tree: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     nb_max = 1
-    for root in forest.roots[:T]:
-        leaves = _tree_leaves(forest, root)
+    for ti in order:
+        leaves = all_leaves[ti]
         blks = []
         for ids in leaves:
             if not len(ids):
