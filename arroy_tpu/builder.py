@@ -26,6 +26,7 @@ orchestrator keeps segment bookkeeping in numpy and allocates node ids.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -485,6 +486,11 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     seeds = [(nid, np.asarray(slots, dtype=np.int64)) for nid, slots in seeds]
     if not seeds:
         return
+    import time as _time
+
+    _timing = os.environ.get("ARROY_BUILD_TIMING") == "1"
+    _tt = {"dispatch": 0.0, "sync": 0.0, "stage": 0.0, "host": 0.0}
+    _t_start = _time.perf_counter()
     total = int(sum(len(s) for _, s in seeds))
     chunk = _MARGIN_CHUNK
     # pow2 bucket: successive builds with similar sizes reuse compiled shapes
@@ -562,6 +568,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             ss_d, sl_d, sp_d, g_d = _upload_state(g_cap)
 
         level_key = jax.random.fold_in(key, level)
+        _t0 = _time.perf_counter() if _timing else 0.0
         (
             perm, ss_d, sl_d, sp_d, g_d,
             left_cnt_d, none_d, normals_d, aux_d,
@@ -580,10 +587,19 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             data_end_d,
             level_key,
         )
+        if _timing:
+            # block first so "dispatch" = dispatch+device compute and
+            # "sync" isolates the device->host transfer latency
+            jax.block_until_ready(left_cnt_d)
+            _t1 = _time.perf_counter()
+            _tt["dispatch"] += _t1 - _t0
         # one bundled small fetch (counts, fallback flags, biases); the
         # d-wide normals stay on device and are staged as a device chunk
         left_cnt, none_mask, aux = jax.device_get((left_cnt_d, none_d, aux_d))
         left_cnt, none_mask, aux = left_cnt[:g], none_mask[:g], aux[:g]
+        if _timing:
+            _t2 = _time.perf_counter()
+            _tt["sync"] += _t2 - _t1
 
         staged_idx = np.nonzero(seg_split[:g] & ~none_mask)[0]
         row_of_seg = np.full(g, -1, np.int64)
@@ -593,6 +609,9 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
                 aux[staged_idx],
             )
             row_of_seg[staged_idx] = base + np.arange(len(staged_idx))
+        if _timing:
+            _t3 = _time.perf_counter()
+            _tt["stage"] += _t3 - _t2
 
         # vectorized frontier update (the scalar per-segment loop was
         # host-bound at 1M+ scale: up to 65k segments x ~35 levels of
@@ -655,6 +674,8 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         level += 1
         if indexed_now:
             ctx.on_items_indexed(indexed_now)
+        if _timing:
+            _tt["host"] += _time.perf_counter() - _t3
 
     # bulk leaf write-back: the pending spans tile [0, data_end) exactly
     # (every item settles in one leaf), so one gather + one lexsort
@@ -677,6 +698,19 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         sorted_ids = ids_all[np.lexsort((ids_all, span_of))]
         pieces = np.split(sorted_ids, np.cumsum(lens)[:-1])
         ctx.forest.put_leaves(nids, pieces)
+
+    if _timing:
+        import sys as _sys
+
+        _tot = _time.perf_counter() - _t_start
+        print(
+            f"grow[{len(seeds)} seeds, {total} lanes, {level} levels, "
+            f"p_pad={p_pad}]: dispatch {_tt['dispatch']:.1f}s  "
+            f"sync {_tt['sync']:.1f}s  stage {_tt['stage']:.1f}s  "
+            f"host {_tt['host']:.1f}s  leafwb {_tot - sum(_tt.values()):.1f}s",
+            file=_sys.stderr,
+            flush=True,
+        )
 
 
 # ---------------------------------------------------------------------------

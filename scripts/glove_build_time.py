@@ -30,7 +30,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
 from cpu_baseline_bench import glove_corpus  # noqa: E402
 
 t0 = time.perf_counter()
-x, _ = glove_corpus(m=M, dims=D)
+cache = f"/tmp/glove_corpus_{M}x{D}.npy"
+if os.path.exists(cache):
+    x = np.load(cache)
+else:
+    x, _ = glove_corpus(m=M, dims=D)
+    np.save(cache, x)
 print(f"corpus: {time.perf_counter() - t0:.0f}s", flush=True)
 
 db = Database()
