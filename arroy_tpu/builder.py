@@ -207,11 +207,16 @@ def _level_core(
     """One build level over the whole frontier.  See module docstring."""
     p_cap = perm.shape[0]
     g_cap = seg_start.shape[0]
-    positions = jnp.arange(p_cap, dtype=jnp.int32)
-    item_seg = (
-        jnp.searchsorted(seg_start, positions, side="right").astype(jnp.int32) - 1
+    # lane -> segment id without the 16.7M-lane binary search: one mark
+    # per segment start, then a cumsum (identical to
+    # searchsorted(seg_start, pos, 'right') - 1 for sorted starts,
+    # including ties from empty/padding segments)
+    mark = jnp.zeros(p_cap + 1, jnp.int32).at[
+        jnp.minimum(seg_start, p_cap)
+    ].add(1, mode="drop")
+    item_seg = jnp.clip(jnp.cumsum(mark[:p_cap]) - 1, 0, g_cap - 1).astype(
+        jnp.int32
     )
-    item_seg = jnp.clip(item_seg, 0, g_cap - 1)
     seg_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(g_cap, dtype=jnp.int32)
     )
@@ -252,7 +257,7 @@ def _level_core(
         settled = settled | (imbalance(left_cnt) < 0.95)
         return (att + 1, settled, normals, aux, side, left_cnt)
 
-    _, settled, normals, aux, side, left_cnt = jax.lax.while_loop(
+    att_n, settled, normals, aux, side, left_cnt = jax.lax.while_loop(
         cond, body, (jnp.int32(1), settled, n0, a0, s0, c0)
     )
 
@@ -266,10 +271,29 @@ def _level_core(
         left_cnt,
     )
 
-    sort_key = item_seg * 2 + jnp.where(seg_split[item_seg], side, False).astype(jnp.int32)
-    order = jnp.argsort(sort_key, stable=True)
-    new_perm = perm[order]
-    return new_perm, left_cnt, none_mask, normals, aux
+    # stable within-segment partition WITHOUT a 16.7M-lane sort: the
+    # stable argsort of (segment, side) equals seg_start[seg] + rank,
+    # where rank counts same-side lanes earlier in the segment (left
+    # lanes first).  Two global cumsums + two gathers + one scatter —
+    # byte-identical layout to the argsort (tests pin golden builds).
+    side_eff = jnp.where(seg_split[item_seg], side, False)
+    left_lane = (~side_eff).astype(jnp.int32)
+    right_lane = side_eff.astype(jnp.int32)
+    ex_left = jnp.cumsum(left_lane) - left_lane  # lefts strictly before
+    ex_right = jnp.cumsum(right_lane) - right_lane
+    seg_pos = jnp.minimum(seg_start[item_seg], p_cap - 1)
+    rank = jnp.where(
+        side_eff,
+        left_cnt[item_seg] + (ex_right - ex_right[seg_pos]),
+        ex_left - ex_left[seg_pos],
+    )
+    new_pos = seg_start[item_seg] + rank
+    new_perm = (
+        jnp.zeros_like(perm)
+        .at[new_pos]
+        .set(perm, mode="drop", unique_indices=True)
+    )
+    return new_perm, left_cnt, none_mask, normals, aux, att_n
 
 
 _level_step = functools.partial(jax.jit, static_argnames=("metric", "dims"))(
@@ -306,7 +330,7 @@ def _level_step_dev(
     layouts against each other byte-for-byte.
     """
     g_cap = seg_start.shape[0]
-    new_perm, left_cnt, none_mask, normals, aux = _level_core(
+    new_perm, left_cnt, none_mask, normals, aux, att_n = _level_core(
         metric, dims, rows, extras, hnorms, perm, seg_start, seg_len,
         seg_split, key,
     )
@@ -330,7 +354,10 @@ def _level_step_dev(
     ss2 = jnp.where(valid, out_start, data_end).astype(seg_start.dtype)
     sl2 = jnp.where(valid, out_len, 0).astype(seg_len.dtype)
     sp2 = jnp.where(valid, out_split, False)
-    return new_perm, ss2, sl2, sp2, new_g, left_cnt, none_mask, normals, aux
+    return (
+        new_perm, ss2, sl2, sp2, new_g,
+        left_cnt, none_mask, normals, aux, att_n,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +598,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         _t0 = _time.perf_counter() if _timing else 0.0
         (
             perm, ss_d, sl_d, sp_d, g_d,
-            left_cnt_d, none_d, normals_d, aux_d,
+            left_cnt_d, none_d, normals_d, aux_d, att_d,
         ) = _level_step_dev(
             ctx.metric,
             ctx.dims,
@@ -600,6 +627,9 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         if _timing:
             _t2 = _time.perf_counter()
             _tt["sync"] += _t2 - _t1
+            _tt["attempts"] = _tt.get("attempts", 0.0) + float(
+                jax.device_get(att_d)
+            )
 
         staged_idx = np.nonzero(seg_split[:g] & ~none_mask)[0]
         row_of_seg = np.full(g, -1, np.int64)
@@ -702,12 +732,14 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     if _timing:
         import sys as _sys
 
+        _att = _tt.pop("attempts", 0.0)
         _tot = _time.perf_counter() - _t_start
         print(
             f"grow[{len(seeds)} seeds, {total} lanes, {level} levels, "
             f"p_pad={p_pad}]: dispatch {_tt['dispatch']:.1f}s  "
             f"sync {_tt['sync']:.1f}s  stage {_tt['stage']:.1f}s  "
-            f"host {_tt['host']:.1f}s  leafwb {_tot - sum(_tt.values()):.1f}s",
+            f"host {_tt['host']:.1f}s  leafwb {_tot - sum(_tt.values()):.1f}s"
+            f"  attempts {_att:.0f}/{max(level, 1)} levels",
             file=_sys.stderr,
             flush=True,
         )
