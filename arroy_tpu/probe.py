@@ -142,58 +142,34 @@ def build_tables(
         for tree in all_leaves
     ]
     order = np.argsort(np.asarray(blocks_of, np.int64), kind="stable")[:T]
-    per_tree: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    nb_max = 1
-    for ti in order:
-        leaves = all_leaves[ti]
-        blks = []
-        for ids in leaves:
-            if not len(ids):
-                continue
-            slots = store.slots_of(ids).astype(np.int64)
-            nsub = -(-len(slots) // P)
-            pad = np.full(nsub * P, -1, np.int64)
-            pad[: len(slots)] = slots
-            blks.append(pad.reshape(nsub, P))
-        blk = (
-            np.concatenate(blks, axis=0)
-            if blks
-            else np.full((1, P), -1, np.int64)
-        )
-        nb = blk.shape[0]
-        nb_max = max(nb_max, nb)
-        safe = np.maximum(blk, 0)
-        mask = (blk >= 0).astype(np.float32)[:, :, None]
-        if name == "cosine":
-            # spherical centroid: normalized mean of unit member rows
-            unit = rows[safe] / np.maximum(norms[safe], 1e-30)[:, :, None]
-            cent = (unit * mask).sum(axis=1)
-            cn = np.linalg.norm(cent, axis=1)
-            cent = cent / np.maximum(cn, 1e-30)[:, None]
-            caux = np.zeros(nb, np.float32)
-        else:
-            # euclidean / manhattan / dot-product: mean of raw rows;
-            # euclidean-family ranks blocks by 2·q·c − ‖c‖²
-            cnt = np.maximum(mask.sum(axis=1), 1.0)
-            cent = (rows[safe] * mask).sum(axis=1) / cnt
-            caux = (
-                np.einsum("nd,nd->n", cent, cent).astype(np.float32)
-                if name in ("euclidean", "manhattan")
-                else np.zeros(nb, np.float32)
-            )
-        per_tree.append((blk, cent.astype(np.float32), caux))
+    nb_max = max(max((blocks_of[t] for t in order), default=1), 1)
 
-    cent_all = np.zeros((T * nb_max, sd), np.float32)
-    caux_all = np.zeros(T * nb_max, np.float32)
-    valid_all = np.zeros(T * nb_max, bool)
+    # vectorized block packing (the per-leaf Python loop cost ~100s of
+    # the 143s table build at 1.18M x 8 trees): leaf items are
+    # contiguous in block-span order, so each tree is ONE id concat,
+    # ONE slots_of, and ONE scatter at arithmetic destinations
     slots_all = np.full((T * nb_max, P), -1, np.int32)
-    for t, (blk, cent, caux) in enumerate(per_tree):
-        nb = blk.shape[0]
-        cent_all[t * nb_max : t * nb_max + nb] = cent
-        caux_all[t * nb_max : t * nb_max + nb] = caux
+    valid_all = np.zeros(T * nb_max, bool)
+    for t, ti in enumerate(order):
+        leaves = [ids for ids in all_leaves[ti] if len(ids)]
+        if not leaves:
+            valid_all[t * nb_max] = True
+            continue
+        sizes = np.fromiter((len(v) for v in leaves), np.int64, len(leaves))
+        slots = store.slots_of(np.concatenate(leaves)).astype(np.int64)
+        nsub = -(-sizes // P)  # blocks per leaf
+        span_start = np.concatenate([[0], np.cumsum(nsub * P)[:-1]])
+        within = np.arange(len(slots), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(sizes)[:-1]]), sizes
+        )
+        dest = np.repeat(span_start, sizes) + within
+        nb = int(nsub.sum())
+        flat = np.full(nb * P, -1, np.int64)
+        flat[dest] = slots
+        slots_all[t * nb_max : t * nb_max + nb] = flat.reshape(nb, P)
         valid_all[t * nb_max : t * nb_max + nb] = True
-        slots_all[t * nb_max : t * nb_max + nb] = blk.astype(np.int32)
 
+    # one global gather serves both the block tables and the centroids
     safe = np.maximum(slots_all, 0)
     live = slots_all >= 0
     brows = rows[safe.reshape(-1)].reshape(T * nb_max, P, sd)
@@ -206,10 +182,31 @@ def build_tables(
         baux = np.zeros((T * nb_max, P), np.float32)
     baux[~live] = 0.0
 
+    caux_all = np.zeros(T * nb_max, np.float32)
+    if name == "cosine":
+        # spherical centroid: normalized mean of unit member rows
+        bn = np.maximum(norms[safe], 1e-30)
+        bn[~live] = np.inf  # dead lanes contribute zero
+        cent_all = np.einsum("npd,np->nd", brows, (1.0 / bn).astype(np.float32))
+        cn = np.linalg.norm(cent_all, axis=1)
+        cent_all = cent_all / np.maximum(cn, 1e-30)[:, None]
+    else:
+        # euclidean / manhattan / dot-product: mean of raw rows;
+        # euclidean-family ranks blocks by 2·q·c − ‖c‖²
+        cnt = np.maximum(live.sum(axis=1), 1).astype(np.float32)
+        cent_all = brows.sum(axis=1) / cnt[:, None]
+        if name in ("euclidean", "manhattan"):
+            caux_all = np.einsum("nd,nd->n", cent_all, cent_all).astype(
+                np.float32
+            )
+    cent_all = np.ascontiguousarray(cent_all, np.float32)
+
     if dtype == "bf16":
         brows = brows.astype(ml_dtypes.bfloat16)
     else:
         brows = brows.astype(np.float32)
+
+    from .models.items import _staged_rows_put
 
     n_real = int((slots_all >= 0).sum())
     return ProbeTables(
@@ -220,7 +217,8 @@ def build_tables(
         cent=jnp.asarray(cent_all),
         caux=jnp.asarray(caux_all),
         valid=jnp.asarray(valid_all),
-        blk_rows=jnp.asarray(brows),
+        # ~GBs at 1M+: chunked upload with tunnel-degradation backoff
+        blk_rows=_staged_rows_put(brows),
         blk_aux=jnp.asarray(baux),
         blk_slots=jnp.asarray(slots_all),
     )
