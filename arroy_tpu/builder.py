@@ -192,6 +192,31 @@ def _margins_chunked(metric, rows, extras, perm, item_seg, normals, aux):
     return jax.lax.map(chunk_fn, idx).reshape(p_cap)
 
 
+def _margins_all_attempts(metric, rows, extras, perm, item_seg, normals_k, aux_k):
+    """[A, p_cap] margins for A retry attempts in ONE pass over the rows.
+
+    The row gather ([p_cap, d] — GBs at 1M+) dominates a margin pass and
+    is identical for every attempt; the per-attempt work is only the
+    [A]-wide normal gather + dot.  This is what lets the imbalance-retry
+    rule run all attempts at once instead of re-reading the corpus per
+    retry (measured 3.15 average full-frontier attempts per level)."""
+    p_cap = perm.shape[0]
+    chunk = min(_MARGIN_CHUNK, p_cap)
+    idx = jnp.arange(p_cap, dtype=jnp.int32).reshape(-1, chunk)
+
+    def chunk_fn(c):
+        sl = perm[c]
+        sg = item_seg[c]
+        v = rows[sl]  # [chunk, sd] — once for all attempts
+        n = normals_k[:, sg]  # [A, chunk, sd]
+        base = jax.vmap(lambda nk: metric.base_dot(nk, v))(n)
+        qf = extras[sl] if metric.has_extra else 1.0
+        return base + aux_k[:, sg] * qf  # [A, chunk]
+
+    out = jax.lax.map(chunk_fn, idx)  # [n_chunks, A, chunk]
+    return out.transpose(1, 0, 2).reshape(normals_k.shape[0], p_cap)
+
+
 def _level_core(
     metric,
     dims,
@@ -221,45 +246,45 @@ def _level_core(
         jnp.arange(g_cap, dtype=jnp.int32)
     )
 
-    def attempt(keys):
-        normals, aux = _two_means(
-            metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys
-        )
-        margins = _margins_chunked(metric, rows, extras, perm, item_seg, normals, aux)
-        side = _sign_positive(margins)  # True = Right (reference Distance::side)
-        left_cnt = jax.ops.segment_sum(
-            (~side).astype(jnp.int32), item_seg, num_segments=g_cap
-        )
-        return normals, aux, side, left_cnt
-
     def imbalance(left_cnt):
         n = seg_len.astype(jnp.float32)
         f = jnp.where(n > 0, left_cnt.astype(jnp.float32) / jnp.where(n > 0, n, 1.0), 0.5)
         return jnp.maximum(f, 1.0 - f)
 
-    # attempt 0
-    n0, a0, s0, c0 = attempt(jax.vmap(lambda k: jax.random.fold_in(k, 0))(seg_keys))
-    settled = imbalance(c0) < 0.95
+    # all 4 imbalance-retry attempts in one frontier pass: two_means is
+    # sample-cheap per attempt and the margin pass shares its row
+    # gather (_margins_all_attempts); per segment the FIRST attempt
+    # under 0.95 wins — pointwise identical to the sequential retry
+    # loop this replaces (same per-(segment, attempt) threefry keys),
+    # which re-read the whole corpus ~3.15x per level on chip.
+    A = 4
 
-    def cond(st):
-        att, settled, *_ = st
-        return (att < 4) & jnp.any(seg_split & ~settled)
-
-    def body(st):
-        att, settled, normals, aux, side, left_cnt = st
+    def attempt_tm(att):
         keys = jax.vmap(lambda k: jax.random.fold_in(k, att))(seg_keys)
-        n2, a2, s2, c2 = attempt(keys)
-        keep = settled
-        normals = jnp.where(keep[:, None], normals, n2)
-        aux = jnp.where(keep, aux, a2)
-        side = jnp.where(keep[item_seg], side, s2)
-        left_cnt = jnp.where(keep, left_cnt, c2)
-        settled = settled | (imbalance(left_cnt) < 0.95)
-        return (att + 1, settled, normals, aux, side, left_cnt)
+        return _two_means(
+            metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys
+        )
 
-    att_n, settled, normals, aux, side, left_cnt = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), settled, n0, a0, s0, c0)
+    normals_k, aux_k = jax.lax.map(attempt_tm, jnp.arange(A))  # [A, g_cap, ...]
+    margins_k = _margins_all_attempts(
+        metric, rows, extras, perm, item_seg, normals_k, aux_k
     )
+    side_k = _sign_positive(margins_k)  # [A, p_cap]
+    left_cnt_k = jax.ops.segment_sum(
+        (~side_k).astype(jnp.int32).T, item_seg, num_segments=g_cap
+    ).T  # [A, g_cap] via one 4-wide scatter-add
+    imb_k = jax.vmap(imbalance)(left_cnt_k)
+    settled_k = imb_k < 0.95
+    sel = jnp.where(
+        jnp.any(settled_k, axis=0),
+        jnp.argmax(settled_k, axis=0),
+        A - 1,
+    ).astype(jnp.int32)  # [g_cap]
+    normals = jnp.take_along_axis(normals_k, sel[None, :, None], axis=0)[0]
+    aux = jnp.take_along_axis(aux_k, sel[None, :], axis=0)[0]
+    left_cnt = jnp.take_along_axis(left_cnt_k, sel[None, :], axis=0)[0]
+    side = jnp.take_along_axis(side_k, sel[item_seg][None, :], axis=0)[0]
+    att_n = jnp.max(sel) + 1
 
     # random-split fallback past 0.99 imbalance (reference src/writer.rs:1218-1233)
     none_mask = seg_split & (imbalance(left_cnt) > 0.99)
