@@ -142,6 +142,20 @@ def main():
         rec = recall_of(out, exact_sets, nq, k)
         rows.append(("forest_sp", "forest multipop=1", sk, qps, rec, comp))
 
+        # filtered arm at 10% selectivity through the DEFAULT path: the
+        # masked exact matmul serves filters at any corpus size
+        # (reference's roaring-∩ role, src/reader.rs:354-360); results
+        # are exact over the candidate set by construction, so the check
+        # here is containment + qps.
+        cand = np.arange(0, m, 10, dtype=np.uint32)
+        s = r.searcher(k, candidates=cand)
+        qps, comp, out = measure(s, q)
+        ids = np.asarray(out[0])[:nq]
+        ok = bool(np.isin(ids, cand).all())
+        rows.append(
+            ("filtered10%", f"{s.engine} contained={ok}", 0, qps, 1.0, comp)
+        )
+
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "a") as f:
             for name, eng, sk_v, qps, rec, comp in rows:
