@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.forest import KIND_LEAF, KIND_SPLIT, KIND_SPLIT_NONE
+from .ops.binary import WORD_BITS, n_words, pack_bits_jnp, pack_bits_np
 
 _INF = jnp.float32(jnp.inf)
 _EPS = jnp.float32(1e-30)
@@ -61,10 +62,30 @@ DEFAULT_BLOCK = int(os.environ.get("ARROY_PROBE_BLOCK", 64))
 PROBE_BYTES = int(os.environ.get("ARROY_PROBE_BYTES", 4 << 30))
 
 
+def _per_tree_bytes(idx, dtype: str) -> int:
+    if dtype == "bq":
+        per_item = n_words(idx.dims) * 4
+    else:
+        per_item = (2 if dtype == "bf16" else 4) * idx.dims
+    return max(int(1.3 * idx.n_items * per_item), 1)
+
+
 def auto_trees(idx, dtype: str) -> int:
-    isize = 2 if dtype == "bf16" else 4
-    per_tree = max(int(1.3 * idx.n_items * idx.dims * isize), 1)
-    return max(2, min(PROBE_BYTES // per_tree, 8))
+    return max(2, min(PROBE_BYTES // _per_tree_bytes(idx, dtype), 8))
+
+
+def auto_dtype(idx) -> str:
+    """Pick the block-row representation for ``dtype="auto"``.
+
+    bf16 rows when ≥4 probe trees fit the HBM table budget (multi-tree
+    union is what buys recall — probe.py module docstring); otherwise
+    fall back to packed sign-bit blocks (16x smaller at 768-d: ~96 B
+    vs 1,536 B per item) scored by XOR-popcount with a 3x-widened exact
+    f32 re-score cut — the reference's binary-quantized oversampling
+    semantics (reference: src/distance/binary_quantized_cosine.rs:36)
+    applied to the probe's candidate stage instead of the whole index.
+    """
+    return "bf16" if PROBE_BYTES // _per_tree_bytes(idx, "bf16") >= 4 else "bq"
 
 
 def _next_pow2(n: int) -> int:
@@ -169,42 +190,54 @@ def build_tables(
         slots_all[t * nb_max : t * nb_max + nb] = flat.reshape(nb, P)
         valid_all[t * nb_max : t * nb_max + nb] = True
 
-    # one global gather serves both the block tables and the centroids
-    safe = np.maximum(slots_all, 0)
-    live = slots_all >= 0
-    brows = rows[safe.reshape(-1)].reshape(T * nb_max, P, sd)
-    brows[~live] = 0
-    if name == "euclidean" or name == "manhattan":
-        baux = (norms[safe] ** 2).astype(np.float32)
-    elif name == "cosine":
-        baux = norms[safe].astype(np.float32)
+    # gather block rows + centroids, chunked over blocks (the full
+    # [T*nb, P, d] f32 intermediate is ~32 GB at 1M x 768 x 8 trees)
+    NBT = T * nb_max
+    if dtype == "bq":
+        # packed sign-bit rows: 16x smaller than bf16 at 768-d.  the
+        # in-block score estimates dots from sign agreement scaled by
+        # stored norms, so baux = ‖x‖ for EVERY metric here
+        brows_out = np.zeros((NBT, P, n_words(sd)), np.uint32)
     else:
-        baux = np.zeros((T * nb_max, P), np.float32)
-    baux[~live] = 0.0
-
-    caux_all = np.zeros(T * nb_max, np.float32)
-    if name == "cosine":
-        # spherical centroid: normalized mean of unit member rows
-        bn = np.maximum(norms[safe], 1e-30)
-        bn[~live] = np.inf  # dead lanes contribute zero
-        cent_all = np.einsum("npd,np->nd", brows, (1.0 / bn).astype(np.float32))
-        cn = np.linalg.norm(cent_all, axis=1)
-        cent_all = cent_all / np.maximum(cn, 1e-30)[:, None]
-    else:
-        # euclidean / manhattan / dot-product: mean of raw rows;
-        # euclidean-family ranks blocks by 2·q·c − ‖c‖²
-        cnt = np.maximum(live.sum(axis=1), 1).astype(np.float32)
-        cent_all = brows.sum(axis=1) / cnt[:, None]
-        if name in ("euclidean", "manhattan"):
-            caux_all = np.einsum("nd,nd->n", cent_all, cent_all).astype(
-                np.float32
-            )
-    cent_all = np.ascontiguousarray(cent_all, np.float32)
-
-    if dtype == "bf16":
-        brows = brows.astype(ml_dtypes.bfloat16)
-    else:
-        brows = brows.astype(np.float32)
+        brows_out = np.zeros(
+            (NBT, P, sd), ml_dtypes.bfloat16 if dtype == "bf16" else np.float32
+        )
+    baux_all = np.zeros((NBT, P), np.float32)
+    cent_all = np.zeros((NBT, sd), np.float32)
+    caux_all = np.zeros(NBT, np.float32)
+    chunk = max(1, (512 << 20) // max(P * sd * 4, 1))
+    for lo in range(0, NBT, chunk):
+        hi = min(lo + chunk, NBT)
+        sl = slots_all[lo:hi]
+        safe = np.maximum(sl, 0)
+        live = sl >= 0
+        br = rows[safe.reshape(-1)].reshape(hi - lo, P, sd)
+        br[~live] = 0
+        nr = norms[safe].astype(np.float32)
+        nr[~live] = 0.0
+        if dtype == "bq" or name == "cosine":
+            baux_all[lo:hi] = nr
+        elif name in ("euclidean", "manhattan"):
+            baux_all[lo:hi] = nr * nr
+        if name == "cosine":
+            # spherical centroid: normalized mean of unit member rows
+            bn = np.where(live, np.maximum(nr, 1e-30), np.inf)
+            c = np.einsum("npd,np->nd", br, (1.0 / bn).astype(np.float32))
+            cn = np.linalg.norm(c, axis=1)
+            cent_all[lo:hi] = c / np.maximum(cn, 1e-30)[:, None]
+        else:
+            # euclidean / manhattan / dot-product: mean of raw rows;
+            # euclidean-family ranks blocks by 2·q·c − ‖c‖²
+            cnt = np.maximum(live.sum(axis=1), 1).astype(np.float32)
+            c = br.sum(axis=1) / cnt[:, None]
+            cent_all[lo:hi] = c
+            if name in ("euclidean", "manhattan"):
+                caux_all[lo:hi] = np.einsum("nd,nd->n", c, c)
+        if dtype == "bq":
+            brows_out[lo:hi] = pack_bits_np(br)
+        else:
+            brows_out[lo:hi] = br.astype(brows_out.dtype)
+    brows = brows_out
 
     from .models.items import _staged_rows_put
 
@@ -219,7 +252,7 @@ def build_tables(
         valid=jnp.asarray(valid_all),
         # ~GBs at 1M+: chunked upload with tunnel-degradation backoff
         blk_rows=_staged_rows_put(brows),
-        blk_aux=jnp.asarray(baux),
+        blk_aux=jnp.asarray(baux_all),
         blk_slots=jnp.asarray(slots_all),
     )
 
@@ -273,21 +306,53 @@ def _probe_impl(
     bid = (topL + base).reshape(b, T * L)  # [B, C]
 
     # 2. fetch the selected blocks (contiguous DMA slices) and score
-    blocks = blk_rows[bid]  # [B, C, P, sd]
+    blocks = blk_rows[bid]  # [B, C, P, sd] (or [B, C, P, w] packed bits)
     baux = blk_aux[bid]  # [B, C, P]
     bslot = blk_slots[bid]  # [B, C, P]
-    d2 = jnp.einsum(
-        "bcpd,bd->bcp",
-        blocks,
-        qv.astype(blk_rows.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    if name == "euclidean" or name == "manhattan":
-        s2 = 2.0 * d2 - baux
-    elif name == "cosine":
-        s2 = d2 / jnp.maximum(baux, _EPS)
+    if blk_rows.dtype == jnp.uint32:
+        # packed sign-bit blocks: estimate the dot from sign agreement
+        # (reference's XNOR-popcount ±1 dot, src/spaces/simple.rs:119-131)
+        # scaled by the stored norms: q·x ≈ ‖q‖‖x‖·bqdot/d_pad.  the
+        # per-query ‖q‖ factor matters only for the euclidean-family
+        # ‖x‖² trade-off; the exact f32 re-score of the (3x-widened,
+        # BQ-oversampling semantics) top-k2 fixes the ranking.
+        qbits = pack_bits_jnp(qv)  # [B, w]
+        ham = jnp.sum(
+            jax.lax.population_count(
+                jnp.bitwise_xor(blocks, qbits[:, None, None, :])
+            ).astype(jnp.int32),
+            axis=-1,
+        )
+        d_pad = blk_rows.shape[-1] * WORD_BITS
+        bqdot = (d_pad - 2 * ham).astype(jnp.float32)
+        if name == "euclidean" or name == "manhattan":
+            qnorm = jnp.sqrt(
+                jnp.maximum(
+                    jnp.einsum(
+                        "bd,bd->b", qv, qv, preferred_element_type=jnp.float32
+                    ),
+                    0.0,
+                )
+            )
+            est_dot = (qnorm[:, None, None] / d_pad) * (baux * bqdot)
+            s2 = 2.0 * est_dot - baux * baux
+        elif name == "cosine":
+            s2 = bqdot  # sign-cosine proxy; norms cancel
+        else:
+            s2 = baux * bqdot  # estimated raw dot up to the ‖q‖/d_pad const
     else:
-        s2 = d2
+        d2 = jnp.einsum(
+            "bcpd,bd->bcp",
+            blocks,
+            qv.astype(blk_rows.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if name == "euclidean" or name == "manhattan":
+            s2 = 2.0 * d2 - baux
+        elif name == "cosine":
+            s2 = d2 / jnp.maximum(baux, _EPS)
+        else:
+            s2 = d2
     s2 = jnp.where(bslot >= 0, s2, -_INF)
     C = T * L * P
     s2f = s2.reshape(b, C)
@@ -341,7 +406,9 @@ def make_probe_fn(
     if not supports(idx.metric):
         raise ValueError("probe engine: binary-quantized metrics unsupported")
     if dtype == "auto":
-        dtype = os.environ.get("ARROY_PROBE_DTYPE", "bf16")
+        dtype = os.environ.get("ARROY_PROBE_DTYPE", "auto")
+    if dtype == "auto":
+        dtype = auto_dtype(idx)
     if n_trees == "auto":
         n_trees = DEFAULT_TREES
     T = auto_trees(idx, dtype) if n_trees == "auto" else int(n_trees)
@@ -356,8 +423,11 @@ def make_probe_fn(
     k = max(1, int(count))
     # generous exact-rescore cut: the [B, k2] final gather is cheap and
     # washes out bf16 selection noise + cross-tree duplicates occupying
-    # k2 slots (dup rate ~20-30% at T=4..8)
-    k2 = min(_next_pow2(max(32 * k, 512)), T * L * P)
+    # k2 slots (dup rate ~20-30% at T=4..8).  sign-bit blocks widen it
+    # 3x — the reference's BQ oversampling constant
+    # (reference: src/distance/binary_quantized_cosine.rs:36)
+    over = 3 if dtype == "bq" else 1
+    k2 = min(_next_pow2(max(32 * k * over, 512 * over)), T * L * P)
     scale = 2 if idx.metric.name in ("euclidean", "manhattan") else 1
 
     def fn(qv, qn, qe, qf):

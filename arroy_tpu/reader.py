@@ -210,6 +210,7 @@ class Searcher:
         multipop="auto",
         probe_trees="auto",
         probe_block="auto",
+        probe_dtype="auto",
     ):
         import os
 
@@ -261,6 +262,7 @@ class Searcher:
                 state=reader._state,
                 probe_trees=probe_trees,
                 probe_block=probe_block,
+                probe_dtype=probe_dtype,
             )
         self._dev = dev
 
@@ -366,6 +368,7 @@ class Reader:
         multipop="auto",
         probe_trees="auto",
         probe_block="auto",
+        probe_dtype="auto",
     ) -> "Searcher":
         """A bound, compiled serving handle (the TPU-native hot path).
 
@@ -395,7 +398,11 @@ class Reader:
         equal recall at 1.18M — results/probe_sweep_r03.log);
         ``traversal="xla"`` keeps the bit-exact reference order.
         ``probe_trees`` / ``probe_block`` tune the probed-tree count
-        and block size.
+        and block size; ``probe_dtype`` picks the block-row storage
+        ("bf16", "f32", or "bq" packed sign bits scored by XOR-popcount
+        with a 3x-widened exact re-score — 16x smaller tables at 768-d,
+        how high-d corpora fit the probe HBM budget).  "auto" = bf16
+        when ≥4 probe trees fit `ARROY_PROBE_BYTES`, else bq.
         """
         qb = QueryBuilder(self, count)
         if search_k is not None:
@@ -408,6 +415,7 @@ class Reader:
             self, qb, rescore=rescore, traversal=traversal,
             engine=engine, precision=precision, multipop=multipop,
             probe_trees=probe_trees, probe_block=probe_block,
+            probe_dtype=probe_dtype,
         )
 
     # -- exact search oracle --------------------------------------------

@@ -911,6 +911,7 @@ def make_search_fn(
     state=None,
     probe_trees="auto",
     probe_block="auto",
+    probe_dtype="auto",
 ):
     """Return a device-resident search callable (the serving hot path).
 
@@ -1019,7 +1020,7 @@ def make_search_fn(
 
             return make_probe_fn(
                 idx, state, count, sk_exact,
-                n_trees=probe_trees, block=probe_block,
+                n_trees=probe_trees, block=probe_block, dtype=probe_dtype,
             )
     if trav == "pallas":
         P = 1

@@ -122,6 +122,53 @@ def test_probe_bq_metric_falls_back():
     assert all(len(row) == 10 for row in out)
 
 
+@pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot-product"])
+def test_probe_bq_tables_recall(metric):
+    # packed sign-bit block tables (probe_dtype="bq"): in-block ranking
+    # is XOR-popcount-estimated, the 3x-widened exact f32 re-score fixes
+    # the final order — recall bar close to the bf16 tables
+    db, r, q = _build(metric=metric)
+    exact = r.exact_by_vectors(q, 10)
+    ex = [set(i for i, _ in row) for row in exact]
+    s = r.searcher(10, search_k=1500, engine="forest", traversal="probe",
+                   probe_trees=4, probe_block=16, probe_dtype="bq")
+    got = s(q)
+    rec = np.mean([len(set(i for i, _ in g) & e) / 10 for g, e in zip(got, ex)])
+    assert rec >= 0.85, f"{metric}: bq probe recall {rec}"
+
+
+def test_probe_bq_distances_are_exact_f32():
+    # whatever the candidate tables store, reported distances come from
+    # the exact f32 re-score and match the reference formulas
+    db, r, q = _build(metric="cosine")
+    s = r.searcher(5, search_k=2000, engine="forest", traversal="probe",
+                   probe_trees=4, probe_block=16, probe_dtype="bq")
+    exact = {
+        (qi, i): d
+        for qi, row in enumerate(r.exact_by_vectors(q, 3000))
+        for i, d in row
+    }
+    for qi, row in enumerate(s(q)):
+        for i, d in row:
+            assert abs(d - exact[(qi, i)]) < 1e-4
+
+
+def test_probe_auto_dtype_budget_policy():
+    from arroy_tpu import probe as probe_mod
+
+    db, r, q = _build(m=500, dims=32)
+    idx = r._device()
+    # generous budget -> bf16; starved budget -> packed sign bits
+    old = probe_mod.PROBE_BYTES
+    try:
+        probe_mod.PROBE_BYTES = 64 << 30
+        assert probe_mod.auto_dtype(idx) == "bf16"
+        probe_mod.PROBE_BYTES = 4 * probe_mod._per_tree_bytes(idx, "bf16") - 1
+        assert probe_mod.auto_dtype(idx) == "bq"
+    finally:
+        probe_mod.PROBE_BYTES = old
+
+
 def test_probe_search_k_scales_candidates():
     db, r, q = _build()
     lo = r.searcher(10, search_k=64, engine="forest", traversal="probe",
