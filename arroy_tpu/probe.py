@@ -60,6 +60,15 @@ DEFAULT_BLOCK = int(os.environ.get("ARROY_PROBE_BLOCK", 64))
 #: HBM budget for the duplicated block tables (bf16 rows); per-tree cost
 #: is ~1.3 x n_items x dims x itemsize (leaf-padding fill ~0.78)
 PROBE_BYTES = int(os.environ.get("ARROY_PROBE_BYTES", 4 << 30))
+#: HBM budget for the query-time gathered-block temporary.  The block
+#: gather materializes [B, C, P, d] rows (plus XLA's f32 upcast of the
+#: bf16 operand), so an unchunked gather scales as ~6·B·search_k·d
+#: bytes: at B=256, sk=16000, d=768 that is 18.8 GB — a measured
+#: compile-time HBM OOM on v5e (crossover sweep, 524k x 768).  Past
+#: this budget the probe scores blocks in chunks with stacked
+#: per-chunk winners and one final merge (the streaming exact scan's
+#: pattern).
+PROBE_GATHER_BYTES = int(os.environ.get("ARROY_PROBE_GATHER_BYTES", 1 << 30))
 
 
 def _per_tree_bytes(idx, dtype: str) -> int:
@@ -306,62 +315,112 @@ def _probe_impl(
     bid = (topL + base).reshape(b, T * L)  # [B, C]
 
     # 2. fetch the selected blocks (contiguous DMA slices) and score
-    blocks = blk_rows[bid]  # [B, C, P, sd] (or [B, C, P, w] packed bits)
-    baux = blk_aux[bid]  # [B, C, P]
-    bslot = blk_slots[bid]  # [B, C, P]
     if blk_rows.dtype == jnp.uint32:
-        # packed sign-bit blocks: estimate the dot from sign agreement
-        # (reference's XNOR-popcount ±1 dot, src/spaces/simple.rs:119-131)
-        # scaled by the stored norms: q·x ≈ ‖q‖‖x‖·bqdot/d_pad.  the
-        # per-query ‖q‖ factor matters only for the euclidean-family
-        # ‖x‖² trade-off; the exact f32 re-score of the (3x-widened,
-        # BQ-oversampling semantics) top-k2 fixes the ranking.
         qbits = pack_bits_jnp(qv)  # [B, w]
-        ham = jnp.sum(
-            jax.lax.population_count(
-                jnp.bitwise_xor(blocks, qbits[:, None, None, :])
-            ).astype(jnp.int32),
-            axis=-1,
-        )
-        d_pad = blk_rows.shape[-1] * WORD_BITS
-        bqdot = (d_pad - 2 * ham).astype(jnp.float32)
-        if name == "euclidean" or name == "manhattan":
-            qnorm = jnp.sqrt(
-                jnp.maximum(
-                    jnp.einsum(
-                        "bd,bd->b", qv, qv, preferred_element_type=jnp.float32
-                    ),
-                    0.0,
-                )
+        qnorm = jnp.sqrt(
+            jnp.maximum(
+                jnp.einsum("bd,bd->b", qv, qv, preferred_element_type=jnp.float32),
+                0.0,
             )
-            est_dot = (qnorm[:, None, None] / d_pad) * (baux * bqdot)
-            s2 = 2.0 * est_dot - baux * baux
-        elif name == "cosine":
-            s2 = bqdot  # sign-cosine proxy; norms cancel
-        else:
-            s2 = baux * bqdot  # estimated raw dot up to the ‖q‖/d_pad const
-    else:
-        d2 = jnp.einsum(
-            "bcpd,bd->bcp",
-            blocks,
-            qv.astype(blk_rows.dtype),
-            preferred_element_type=jnp.float32,
         )
-        if name == "euclidean" or name == "manhattan":
-            s2 = 2.0 * d2 - baux
-        elif name == "cosine":
-            s2 = d2 / jnp.maximum(baux, _EPS)
-        else:
-            s2 = d2
-    s2 = jnp.where(bslot >= 0, s2, -_INF)
-    C = T * L * P
-    s2f = s2.reshape(b, C)
-    slotf = bslot.reshape(b, C)
-    if k2 < C:
-        sel_s, sel_i = jax.lax.approx_max_k(s2f, k2, recall_target=0.99)
-        cand = jnp.take_along_axis(slotf, sel_i, axis=1)
+        qbf = None
     else:
-        sel_s, cand = s2f, slotf
+        qbits = qnorm = None
+        qbf = qv.astype(blk_rows.dtype)
+
+    def score_blocks(bidc):
+        """Gather + score one [B, c] slab of selected block ids (-1 pad)."""
+        safe = jnp.maximum(bidc, 0)
+        blocks = blk_rows[safe]  # [B, c, P, sd] (or [B, c, P, w] packed)
+        baux = blk_aux[safe]  # [B, c, P]
+        bslot = jnp.where((bidc >= 0)[..., None], blk_slots[safe], -1)
+        if blk_rows.dtype == jnp.uint32:
+            # packed sign-bit blocks: estimate the dot from sign
+            # agreement (reference's XNOR-popcount ±1 dot,
+            # src/spaces/simple.rs:119-131) scaled by the stored norms:
+            # q·x ≈ ‖q‖‖x‖·bqdot/d_pad.  the per-query ‖q‖ factor
+            # matters only for the euclidean-family ‖x‖² trade-off; the
+            # exact f32 re-score of the (3x-widened, BQ-oversampling
+            # semantics) top-k2 fixes the ranking.
+            ham = jnp.sum(
+                jax.lax.population_count(
+                    jnp.bitwise_xor(blocks, qbits[:, None, None, :])
+                ).astype(jnp.int32),
+                axis=-1,
+            )
+            d_pad = blk_rows.shape[-1] * WORD_BITS
+            bqdot = (d_pad - 2 * ham).astype(jnp.float32)
+            if name == "euclidean" or name == "manhattan":
+                est_dot = (qnorm[:, None, None] / d_pad) * (baux * bqdot)
+                s2 = 2.0 * est_dot - baux * baux
+            elif name == "cosine":
+                s2 = bqdot  # sign-cosine proxy; norms cancel
+            else:
+                s2 = baux * bqdot  # raw dot up to the ‖q‖/d_pad const
+        else:
+            d2 = jnp.einsum(
+                "bcpd,bd->bcp", blocks, qbf,
+                preferred_element_type=jnp.float32,
+            )
+            if name == "euclidean" or name == "manhattan":
+                s2 = 2.0 * d2 - baux
+            elif name == "cosine":
+                s2 = d2 / jnp.maximum(baux, _EPS)
+            else:
+                s2 = d2
+        return jnp.where(bslot >= 0, s2, -_INF), bslot
+
+    # the gathered temp is ~[B, c, P, sd] rows PLUS XLA's f32 upcast of
+    # a bf16 operand: unchunked at high search_k it exceeds HBM
+    # (measured 18.84G at B=256, sk=16000, d=768).  score in chunks of
+    # `ch` blocks with per-chunk winners and one final merge.
+    C = T * L
+    if blk_rows.dtype == jnp.uint32:
+        per_slot = blk_rows.shape[-1] * 8
+    else:
+        per_slot = blk_rows.shape[-1] * (
+            6 if blk_rows.dtype == jnp.bfloat16 else 8
+        )
+    ch = max(1, int(PROBE_GATHER_BYTES) // max(b * P * per_slot, 1))
+    if C <= ch:
+        s2, bslot = score_blocks(bid)
+        s2f = s2.reshape(b, C * P)
+        slotf = bslot.reshape(b, C * P)
+        if k2 < C * P:
+            sel_s, sel_i = jax.lax.approx_max_k(s2f, k2, recall_target=0.99)
+            cand = jnp.take_along_axis(slotf, sel_i, axis=1)
+        else:
+            sel_s, cand = s2f, slotf
+    else:
+        nch = -(-C // ch)
+        pad = nch * ch - C
+        bid_p = (
+            jnp.concatenate([bid, jnp.full((b, pad), -1, bid.dtype)], axis=1)
+            if pad
+            else bid
+        )
+        chunks = bid_p.reshape(b, nch, ch).transpose(1, 0, 2)  # [nch, B, ch]
+        k2c = min(k2, ch * P)
+
+        def body(carry, bidc):
+            s2c, bslotc = score_blocks(bidc)
+            s2f = s2c.reshape(b, ch * P)
+            slotf = bslotc.reshape(b, ch * P)
+            if k2c < ch * P:
+                v, i = jax.lax.approx_max_k(s2f, k2c, recall_target=0.99)
+                s = jnp.take_along_axis(slotf, i, axis=1)
+            else:
+                v, s = s2f, slotf
+            return carry, (v, s)
+
+        _, (vs, ss_c) = jax.lax.scan(body, 0, chunks)
+        allv = vs.transpose(1, 0, 2).reshape(b, nch * k2c)
+        alls = ss_c.transpose(1, 0, 2).reshape(b, nch * k2c)
+        if k2 < nch * k2c:
+            sel_s, sel_i = jax.lax.approx_max_k(allv, k2, recall_target=0.99)
+            cand = jnp.take_along_axis(alls, sel_i, axis=1)
+        else:
+            sel_s, cand = allv, alls
 
     # 3. exact f32 re-score of the k2 winners + slot-dedup + top-k
     cs = jnp.maximum(cand, 0)

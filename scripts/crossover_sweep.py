@@ -113,34 +113,86 @@ def main():
     args = ap.parse_args()
     k, b = args.k, args.batch
 
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    done = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                    done[(row["m"], row["arm"], row["search_k"])] = row.get(
+                        "recall"
+                    )
+                except Exception:
+                    pass
+
+    def emit(m, build_s, name, eng, sk_v, qps, rec, comp):
+        print(
+            f"[{m}x{args.d}] {name:14s} sk={sk_v:<6d} "
+            f"{qps:9.0f} qps  recall@{k}={rec:.4f}  (compile {comp:.1f}s)",
+            flush=True,
+        )
+        with open(args.out, "a") as f:
+            f.write(
+                json.dumps(
+                    dict(
+                        m=m, d=args.d, trees=args.trees, batch=b,
+                        arm=name, engine=eng, search_k=sk_v,
+                        qps=round(qps, 1), recall=round(rec, 4),
+                        compile_s=round(comp, 2), build_s=round(build_s, 2),
+                    )
+                )
+                + "\n"
+            )
+
     for m in [int(v) for v in args.m.split(",")]:
         r, rng, parents, build_s = build_or_reuse(m, args.d, args.trees)
         q = clustered(rng, b, args.d, parents)
         nq = min(b, 64)
         exact = r.exact_by_vectors(q[:nq], k, fast=True)
         exact_sets = [set(i for i, _ in e) for e in exact]
-        rows = []
 
-        s = r.searcher(k)  # THE default serving path
-        qps, comp, out = measure(s, q)
-        rec = recall_of(out, exact_sets, nq, k)
-        rows.append(("auto(default)", s.engine, 0, qps, rec, comp))
+        def arm(name, sk_v, **kw):
+            """One measured arm; a per-arm failure (e.g. an HBM-bound
+            config) records an error row instead of killing the sweep."""
+            if (m, name, sk_v) in done:
+                print(f"[{m}] skip {name} sk={sk_v} (recorded)", flush=True)
+                rec = done[(m, name, sk_v)]
+                return (rec, None, None) if rec is not None else None
+            try:
+                s = r.searcher(k, **kw)
+                qps, comp, out = measure(s, q)
+                rec = recall_of(out, exact_sets, nq, k)
+                emit(m, build_s, name, s.engine, sk_v, qps, rec, comp)
+                return rec, out, s
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:160]
+                print(f"[{m}] {name} sk={sk_v} FAILED: {msg}", flush=True)
+                with open(args.out, "a") as f:
+                    f.write(
+                        json.dumps(
+                            dict(m=m, d=args.d, arm=name, search_k=sk_v,
+                                 error=msg)
+                        )
+                        + "\n"
+                    )
+                return None
 
-        sk = args.sk0
+        arm("auto(default)", 0)  # THE default serving path
+
+        sk, last_sk = args.sk0, None
         for _ in range(6):
-            s = r.searcher(k, search_k=sk, engine="forest")
-            qps, comp, out = measure(s, q)
-            rec = recall_of(out, exact_sets, nq, k)
-            rows.append(("forest", "forest", sk, qps, rec, comp))
-            if rec >= args.target:
-                break
+            res = arm("forest", sk, search_k=sk, engine="forest")
+            if res is not None:
+                last_sk = sk
+                if res[0] >= args.target:
+                    break
             sk *= 2
 
         # single-pop reference arm at the tuned search_k (multipop delta)
-        s = r.searcher(k, search_k=sk, engine="forest", multipop=1)
-        qps, comp, out = measure(s, q)
-        rec = recall_of(out, exact_sets, nq, k)
-        rows.append(("forest_sp", "forest multipop=1", sk, qps, rec, comp))
+        if last_sk is not None:
+            arm("forest_sp", last_sk, search_k=last_sk,
+                engine="forest", multipop=1)
 
         # filtered arm at 10% selectivity through the DEFAULT path: the
         # masked exact matmul serves filters at any corpus size
@@ -148,34 +200,16 @@ def main():
         # are exact over the candidate set by construction, so the check
         # here is containment + qps.
         cand = np.arange(0, m, 10, dtype=np.uint32)
-        s = r.searcher(k, candidates=cand)
-        qps, comp, out = measure(s, q)
-        ids = np.asarray(out[0])[:nq]
-        ok = bool(np.isin(ids, cand).all())
-        rows.append(
-            ("filtered10%", f"{s.engine} contained={ok}", 0, qps, 1.0, comp)
-        )
-
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        with open(args.out, "a") as f:
-            for name, eng, sk_v, qps, rec, comp in rows:
-                print(
-                    f"[{m}x{args.d}] {name:14s} sk={sk_v:<6d} "
-                    f"{qps:9.0f} qps  recall@{k}={rec:.4f}  (compile {comp:.1f}s)",
-                    flush=True,
-                )
-                f.write(
-                    json.dumps(
-                        dict(
-                            m=m, d=args.d, trees=args.trees, batch=b,
-                            arm=name, engine=eng, search_k=sk_v,
-                            qps=round(qps, 1), recall=round(rec, 4),
-                            compile_s=round(comp, 2),
-                            build_s=round(build_s, 2),
-                        )
-                    )
-                    + "\n"
-                )
+        if (m, "filtered10%", 0) not in done:
+            try:
+                s = r.searcher(k, candidates=cand)
+                qps, comp, out = measure(s, q)
+                ids = np.asarray(out[0])[:nq]
+                ok = bool(np.isin(ids, cand).all())
+                emit(m, build_s, "filtered10%", f"{s.engine} contained={ok}",
+                     0, qps, 1.0, comp)
+            except Exception as e:  # noqa: BLE001
+                print(f"[{m}] filtered10% FAILED: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -185,3 +185,30 @@ def test_probe_search_k_scales_candidates():
     )
     assert rec_hi >= rec_lo
     assert rec_hi >= 0.95
+
+
+def test_probe_chunked_gather_parity():
+    # past PROBE_GATHER_BYTES the block scoring runs as a lax.scan of
+    # per-chunk winners + one final merge (the unchunked [B,C,P,d]
+    # gather measured an 18.84G compile-time HBM OOM at B=256,
+    # sk=16000, d=768).  chunked and single-shot paths must agree.
+    from arroy_tpu import probe as probe_mod
+
+    db, r, q = _build(m=2000, dims=32)
+    kw = dict(search_k=1200, engine="forest", traversal="probe",
+              probe_trees=4, probe_block=16)
+    base = r.searcher(10, **kw)(q)
+    old = probe_mod.PROBE_GATHER_BYTES
+    try:
+        probe_mod.PROBE_GATHER_BYTES = 1  # force ch=1 (one block/step)
+        probe_mod._probe_impl.clear_cache()
+        chunked = r.searcher(10, **kw)(q)
+    finally:
+        probe_mod.PROBE_GATHER_BYTES = old
+        probe_mod._probe_impl.clear_cache()
+    for a, b in zip(base, chunked):
+        ia = [i for i, _ in a]
+        ib = [i for i, _ in b]
+        # approx_max_k tie/selection noise allows marginal swaps; the
+        # candidate sets must be near-identical
+        assert len(set(ia) & set(ib)) >= 9, (ia, ib)
