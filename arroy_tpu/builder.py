@@ -38,6 +38,23 @@ from .metrics import Metric
 from .models.forest import Forest, NodeIdAllocator
 
 _MARGIN_CHUNK = 8192
+#: byte budget for one margin-pass step's temporaries (the [chunk, sd]
+#: row gather plus the [A, chunk, sd] per-attempt normal rows).  The
+#: chunk COUNT is what matters on chip: margin passes run as a serial
+#: `lax.map`, and a fixed 8k-lane chunk meant ~3,600 latency-bound
+#: steps per level at 1.18M x 25 trees (~10s/level — the dominant
+#: bucket of the whole build).  Chunk values are per-lane dots, so any
+#: chunk size is byte-identical (golden build tests pin this).
+_MARGIN_CHUNK_BYTES = int(os.environ.get("ARROY_MARGIN_CHUNK_BYTES", 512 << 20))
+
+
+def _margin_chunk(p_cap: int, sd: int, attempts: int = 1) -> int:
+    """Largest pow2 chunk (≥ _MARGIN_CHUNK, ≤ p_cap) within the budget."""
+    budget = _MARGIN_CHUNK_BYTES // max((attempts + 1) * sd * 4, 1)
+    c = _MARGIN_CHUNK
+    while c * 2 <= min(budget, p_cap):
+        c *= 2
+    return min(c, p_cap)
 #: safety valve: no real forest is deeper than this (random-split fallback
 #: halves a node in expectation); past it the remaining segments are
 #: flushed to oversized descendants instead of looping forever.
@@ -177,7 +194,7 @@ def _two_means_core(metric, dims, srows, sex, shn):
 def _margins_chunked(metric, rows, extras, perm, item_seg, normals, aux):
     """margin of every item of `perm` against its segment's hyperplane."""
     p_cap = perm.shape[0]
-    chunk = min(_MARGIN_CHUNK, p_cap)
+    chunk = _margin_chunk(p_cap, int(rows.shape[1]))
     idx = jnp.arange(p_cap, dtype=jnp.int32).reshape(-1, chunk)
 
     def chunk_fn(c):
@@ -201,7 +218,9 @@ def _margins_all_attempts(metric, rows, extras, perm, item_seg, normals_k, aux_k
     rule run all attempts at once instead of re-reading the corpus per
     retry (measured 3.15 average full-frontier attempts per level)."""
     p_cap = perm.shape[0]
-    chunk = min(_MARGIN_CHUNK, p_cap)
+    chunk = _margin_chunk(
+        p_cap, int(rows.shape[1]), int(normals_k.shape[0])
+    )
     idx = jnp.arange(p_cap, dtype=jnp.int32).reshape(-1, chunk)
 
     def chunk_fn(c):
