@@ -209,31 +209,46 @@ def _margins_chunked(metric, rows, extras, perm, item_seg, normals, aux):
     return jax.lax.map(chunk_fn, idx).reshape(p_cap)
 
 
-def _margins_all_attempts(metric, rows, extras, perm, item_seg, normals_k, aux_k):
+def _margins_all_attempts(metric, rows, extras, perm, item_seg, normals_t, aux_t):
     """[A, p_cap] margins for A retry attempts in ONE pass over the rows.
 
     The row gather ([p_cap, d] — GBs at 1M+) dominates a margin pass and
     is identical for every attempt; the per-attempt work is only the
     [A]-wide normal gather + dot.  This is what lets the imbalance-retry
     rule run all attempts at once instead of re-reading the corpus per
-    retry (measured 3.15 average full-frontier attempts per level)."""
+    retry (measured 3.15 average full-frontier attempts per level).
+
+    The attempt tables arrive TRANSPOSED — normals_t [g_cap, A, sd],
+    aux_t [g_cap, A] — so the per-chunk normal fetch is a leading-axis
+    row gather, and the chunk result is returned flattened [chunk*A].
+    Both are load-bearing on TPU: a middle-axis gather made XLA copy
+    the whole multi-GB table inside the map loop, and a stacked
+    [n_chunks, A, chunk] output put A=4 on the 128-lane axis (32x
+    padding: 8.00G allocated for a 268MB array) — together a measured
+    compile-time HBM OOM at 1M x 768 x 12 trees."""
     p_cap = perm.shape[0]
-    chunk = _margin_chunk(
-        p_cap, int(rows.shape[1]), int(normals_k.shape[0])
-    )
+    g_cap, A, sd = normals_t.shape
+    chunk = _margin_chunk(p_cap, int(rows.shape[1]), A)
     idx = jnp.arange(p_cap, dtype=jnp.int32).reshape(-1, chunk)
+    normals_f = normals_t.reshape(g_cap, A * sd)
 
     def chunk_fn(c):
         sl = perm[c]
         sg = item_seg[c]
         v = rows[sl]  # [chunk, sd] — once for all attempts
-        n = normals_k[:, sg]  # [A, chunk, sd]
-        base = jax.vmap(lambda nk: metric.base_dot(nk, v))(n)
+        n = normals_f[sg].reshape(chunk, A, sd)
+        base = jax.vmap(metric.base_dot, in_axes=(1, None), out_axes=1)(n, v)
         qf = extras[sl] if metric.has_extra else 1.0
-        return base + aux_k[:, sg] * qf  # [A, chunk]
+        out = base + aux_t[sg] * (
+            qf[:, None] if metric.has_extra else 1.0
+        )  # [chunk, A]
+        return out.reshape(chunk * A)
 
-    out = jax.lax.map(chunk_fn, idx)  # [n_chunks, A, chunk]
-    return out.transpose(1, 0, 2).reshape(normals_k.shape[0], p_cap)
+    out = jax.lax.map(chunk_fn, idx)  # [n_chunks, chunk*A]
+    n_chunks = out.shape[0]
+    return (
+        out.reshape(n_chunks, chunk, A).transpose(2, 0, 1).reshape(A, p_cap)
+    )
 
 
 def _level_core(
@@ -284,9 +299,11 @@ def _level_core(
             metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys
         )
 
-    normals_k, aux_k = jax.lax.map(attempt_tm, jnp.arange(A))  # [A, g_cap, ...]
+    # attempt tables kept attempt-MINOR ([g_cap, A, ...], vmap out_axes=1)
+    # so the margin pass can row-gather them — see _margins_all_attempts
+    normals_t, aux_t = jax.vmap(attempt_tm, out_axes=1)(jnp.arange(A))
     margins_k = _margins_all_attempts(
-        metric, rows, extras, perm, item_seg, normals_k, aux_k
+        metric, rows, extras, perm, item_seg, normals_t, aux_t
     )
     side_k = _sign_positive(margins_k)  # [A, p_cap]
     left_cnt_k = jax.ops.segment_sum(
@@ -299,8 +316,8 @@ def _level_core(
         jnp.argmax(settled_k, axis=0),
         A - 1,
     ).astype(jnp.int32)  # [g_cap]
-    normals = jnp.take_along_axis(normals_k, sel[None, :, None], axis=0)[0]
-    aux = jnp.take_along_axis(aux_k, sel[None, :], axis=0)[0]
+    normals = jnp.take_along_axis(normals_t, sel[:, None, None], axis=1)[:, 0]
+    aux = jnp.take_along_axis(aux_t, sel[:, None], axis=1)[:, 0]
     left_cnt = jnp.take_along_axis(left_cnt_k, sel[None, :], axis=0)[0]
     side = jnp.take_along_axis(side_k, sel[item_seg][None, :], axis=0)[0]
     att_n = jnp.max(sel) + 1
