@@ -84,15 +84,21 @@ _TWO_MEANS_CHUNK_BYTES = 256 << 20
 
 
 def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys):
-    """Vmapped two-means over all segments (reference: src/distance/mod.rs:126-223).
+    """Vmapped two-means over all segments x A retry attempts
+    (reference: src/distance/mod.rs:126-223).
 
-    Returns (normals [G, sd], aux [G]) in storage space.  Chunked along
-    the segment axis (lax.map) so the [G, 12, sd] sample gather stays
-    bounded when a grow group holds many trees' frontiers at once.
+    ``keys`` is [G, A] (attempt-MINOR); returns (normals [G, A, sd],
+    aux [G, A]) in storage space.  Chunked along the segment axis
+    (lax.map) so the [C, A, 12, sd] sample gather stays bounded, and the
+    attempt axis is batched INSIDE each chunk so the stacked result is
+    already attempt-minor — a global [A, G, sd] -> [G, A, sd] transpose
+    measured a 3.08G HLO copy at 1M x 768, and any [*, A(=4)]-minor
+    array costs 32x lane padding on TPU.
     """
     p_cap = perm.shape[0]
     g_cap = seg_start.shape[0]
     sd = rows.shape[1]
+    A = keys.shape[1]
 
     def sample_one(start, ln, key):
         kc, ks = jax.random.split(key)
@@ -106,14 +112,20 @@ def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, key
         return perm[jnp.minimum(pos, p_cap - 1)]
 
     def chunk_fn(args):
-        ss_c, sl_c, keys_c = args
-        slots = jax.vmap(sample_one)(ss_c, sl_c, keys_c)  # [C, 12]
-        srows = rows[slots]  # [C, 12, sd]
-        sex = extras[slots]  # [C, 12]
-        shn = hnorms[slots]  # [C, 12]
-        return _two_means_core(metric, dims, srows, sex, shn)
+        ss_c, sl_c, keys_c = args  # [C], [C], [C, A]
+        slots = jax.vmap(
+            jax.vmap(sample_one, in_axes=(None, None, 0))
+        )(ss_c, sl_c, keys_c)  # [C, A, 12]
+        srows = rows[slots]  # [C, A, 12, sd]
+        sex = extras[slots]  # [C, A, 12]
+        shn = hnorms[slots]  # [C, A, 12]
+        return jax.vmap(
+            lambda sr, se, sh: _two_means_core(metric, dims, sr, se, sh),
+            in_axes=1,
+            out_axes=1,
+        )(srows, sex, shn)  # [C, A, sd], [C, A]
 
-    chunk = max(_TWO_MEANS_CHUNK_BYTES // (12 * sd * 4), 256)
+    chunk = max(_TWO_MEANS_CHUNK_BYTES // (A * 12 * sd * 4), 256)
     if g_cap <= chunk:
         return chunk_fn((seg_start, seg_len, keys))
     n_chunks = -(-g_cap // chunk)
@@ -126,12 +138,12 @@ def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, key
         (
             ss_p.reshape(n_chunks, chunk),
             sl_p.reshape(n_chunks, chunk),
-            keys_p.reshape(n_chunks, chunk),
+            keys_p.reshape(n_chunks, chunk, A),
         ),
     )
     return (
-        normals.reshape(n_chunks * chunk, -1)[:g_cap],
-        aux.reshape(n_chunks * chunk)[:g_cap],
+        normals.reshape(n_chunks * chunk, A, -1)[:g_cap],
+        aux.reshape(n_chunks * chunk, A)[:g_cap],
     )
 
 
@@ -222,10 +234,13 @@ def _margins_all_attempts(metric, rows, extras, perm, item_seg, normals_t, aux_t
     aux_t [g_cap, A] — so the per-chunk normal fetch is a leading-axis
     row gather, and the chunk result is returned flattened [chunk*A].
     Both are load-bearing on TPU: a middle-axis gather made XLA copy
-    the whole multi-GB table inside the map loop, and a stacked
-    [n_chunks, A, chunk] output put A=4 on the 128-lane axis (32x
-    padding: 8.00G allocated for a 268MB array) — together a measured
-    compile-time HBM OOM at 1M x 768 x 12 trees."""
+    the whole multi-GB table inside the map loop, and any array whose
+    MINOR dim is A(=4) costs 32x lane padding (a stacked
+    [n_chunks, A, chunk] map output: 8.00G for a 268MB array; an
+    [p_cap, A] reassembly temp: same) — each a measured compile-time
+    HBM OOM at 1M x 768 x 12 trees.  So the fetch is attempt-minor,
+    each chunk's RESULT is transposed to attempt-MAJOR while small,
+    and every global array keeps a large minor dim."""
     p_cap = perm.shape[0]
     g_cap, A, sd = normals_t.shape
     chunk = _margin_chunk(p_cap, int(rows.shape[1]), A)
@@ -237,17 +252,17 @@ def _margins_all_attempts(metric, rows, extras, perm, item_seg, normals_t, aux_t
         sg = item_seg[c]
         v = rows[sl]  # [chunk, sd] — once for all attempts
         n = normals_f[sg].reshape(chunk, A, sd)
-        base = jax.vmap(metric.base_dot, in_axes=(1, None), out_axes=1)(n, v)
+        base = jax.vmap(metric.base_dot, in_axes=(1, None))(n, v)  # [A, chunk]
         qf = extras[sl] if metric.has_extra else 1.0
-        out = base + aux_t[sg] * (
-            qf[:, None] if metric.has_extra else 1.0
-        )  # [chunk, A]
-        return out.reshape(chunk * A)
+        out = base + aux_t[sg].T * qf  # [A, chunk]
+        return out.reshape(A * chunk)
 
-    out = jax.lax.map(chunk_fn, idx)  # [n_chunks, chunk*A]
+    out = jax.lax.map(chunk_fn, idx)  # [n_chunks, A*chunk]
     n_chunks = out.shape[0]
     return (
-        out.reshape(n_chunks, chunk, A).transpose(2, 0, 1).reshape(A, p_cap)
+        out.reshape(n_chunks, A, chunk)
+        .transpose(1, 0, 2)
+        .reshape(A, p_cap)
     )
 
 
@@ -293,15 +308,18 @@ def _level_core(
     # which re-read the whole corpus ~3.15x per level on chip.
     A = 4
 
-    def attempt_tm(att):
-        keys = jax.vmap(lambda k: jax.random.fold_in(k, att))(seg_keys)
-        return _two_means(
-            metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys
+    # per-(segment, attempt) keys: fold_in(seg_key, attempt), identical
+    # stream to the sequential retry loop this replaces.  The attempt
+    # axis stays MINOR end to end ([g_cap, A, ...]) — see _two_means
+    # and _margins_all_attempts for the measured layout hazards
+    keys_a = jax.vmap(
+        lambda k: jax.vmap(lambda a: jax.random.fold_in(k, a))(
+            jnp.arange(A, dtype=jnp.int32)
         )
-
-    # attempt tables kept attempt-MINOR ([g_cap, A, ...], vmap out_axes=1)
-    # so the margin pass can row-gather them — see _margins_all_attempts
-    normals_t, aux_t = jax.vmap(attempt_tm, out_axes=1)(jnp.arange(A))
+    )(seg_keys)  # [g_cap, A]
+    normals_t, aux_t = _two_means(
+        metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys_a
+    )
     margins_k = _margins_all_attempts(
         metric, rows, extras, perm, item_seg, normals_t, aux_t
     )
@@ -615,8 +633,11 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     # level holds every node created so far (finished segments stay in the
     # list to keep sort keys monotone), which is bounded by the final node
     # count ~ 4 * items/split_after.  One size -> one XLA compile for every
-    # level of every tree.
-    g_cap_hint = _next_pow2(8 * total // max(ctx.split_after, 1) + len(seeds) + 64)
+    # level of every tree.  Sized AT the bound, not above it: the
+    # [g_cap, A, d] attempt tables scale with g_cap (3.2G per pow2 step
+    # at 2M x 768), and a rare over-bound level just re-pads and
+    # re-uploads the host frontier (the overflow branch below).
+    g_cap_hint = _next_pow2(4 * total // max(ctx.split_after, 1) + len(seeds) + 64)
 
     data_end = int(seg_start[-1] + seg_len[-1]) if len(seg_len) else 0
     data_end_d = jnp.int32(max(data_end, 0))
