@@ -596,6 +596,17 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
 
     _timing = os.environ.get("ARROY_BUILD_TIMING") == "1"
     _tt = {"dispatch": 0.0, "sync": 0.0, "stage": 0.0, "host": 0.0}
+    _memdbg = os.environ.get("ARROY_MEM_DEBUG") == "1"
+
+    def _mem_report(tag):
+        # axon exposes no device.memory_stats(); enumerate JAX-held
+        # buffers instead (excludes XLA program temps, which the
+        # compile-time check already bounds)
+        live = [a for a in jax.live_arrays() if a.nbytes >= 1 << 20]
+        live.sort(key=lambda a: -a.nbytes)
+        tot = sum(a.nbytes for a in jax.live_arrays())
+        top = "  ".join(f"{a.shape}/{a.dtype}={a.nbytes >> 20}M" for a in live[:8])
+        print(f"[memdbg {tag}] live={tot / (1 << 30):.2f}G  {top}", flush=True)
     _t_start = _time.perf_counter()
     total = int(sum(len(s) for _, s in seeds))
     chunk = _MARGIN_CHUNK
@@ -702,6 +713,8 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             jax.block_until_ready(left_cnt_d)
             _t1 = _time.perf_counter()
             _tt["dispatch"] += _t1 - _t0
+        if _memdbg:
+            _mem_report(f"level={level} g={g} g_cap={g_cap}")
         # one bundled small fetch (counts, fallback flags, biases); the
         # d-wide normals stay on device and are staged as a device chunk
         left_cnt, none_mask, aux = jax.device_get((left_cnt_d, none_d, aux_d))

@@ -46,22 +46,25 @@ def build_or_reuse(m, d, trees, seed=42):
     db = Database(f"/tmp/cross_{m}x{d}_t{trees}")
     w = Writer(db, 0, d)
     st = db.read().state(0)
-    have = (
+    have_items = (
         st is not None
         and st.metadata is not None
         and st.metadata.dimensions == d
         and len(st.metadata.items) == m
-        and len(st.metadata.roots) == trees
-        and not st.updated
+    )
+    have_forest = (
+        have_items and len(st.metadata.roots) == trees and not st.updated
     )
     build_s = 0.0
-    if have:
+    if have_items:
         for lo in range(0, m, CHUNK):  # keep the rng stream aligned
             n = min(CHUNK, m - lo)
             rng.integers(64, size=n), rng.integers(64, size=n)
             rng.random((n, d)), rng.standard_normal((n, d))
-        print(f"[{m}] reusing persisted index", flush=True)
+        print(f"[{m}] reusing persisted items", flush=True)
     else:
+        # ingest in its OWN txn so a failed/killed build never costs the
+        # multi-minute host data-gen + store write again on retry
         t0 = time.perf_counter()
         with db.write() as t:
             t.drop_index(0)
@@ -72,11 +75,13 @@ def build_or_reuse(m, d, trees, seed=42):
                     np.arange(lo, lo + n, dtype=np.uint32),
                     clustered(rng, n, d, parents),
                 )
-            t_ing = time.perf_counter() - t0
-            t1 = time.perf_counter()
+        print(f"[{m}] ingest {time.perf_counter() - t0:.1f}s", flush=True)
+    if not have_forest:
+        t1 = time.perf_counter()
+        with db.write() as t:
             w.builder(seed=seed).n_trees(trees).build(t)
-            build_s = time.perf_counter() - t1
-        print(f"[{m}] ingest {t_ing:.1f}s  build {build_s:.1f}s", flush=True)
+        build_s = time.perf_counter() - t1
+        print(f"[{m}] build {build_s:.1f}s", flush=True)
     r = Reader.open(db.read(), 0, db)
     return r, rng, parents, build_s
 
