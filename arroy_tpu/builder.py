@@ -125,7 +125,14 @@ def _two_means(metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, key
             out_axes=1,
         )(srows, sex, shn)  # [C, A, sd], [C, A]
 
-    chunk = max(_TWO_MEANS_CHUNK_BYTES // (A * 12 * sd * 4), 256)
+    raw = max(_TWO_MEANS_CHUNK_BYTES // (A * 12 * sd * 4), 256)
+    # largest pow2 <= raw: g_cap is always a pow2, so the chunk divides
+    # it exactly and the stacked map output IS the result — a
+    # non-divisible chunk forced a [:g_cap] slice COPY of the whole
+    # attempts table (1.5G at g_cap=131072 x 768, measured)
+    chunk = 1
+    while chunk * 2 <= raw:
+        chunk *= 2
     if g_cap <= chunk:
         return chunk_fn((seg_start, seg_len, keys))
     n_chunks = -(-g_cap // chunk)
@@ -323,10 +330,15 @@ def _level_core(
     margins_k = _margins_all_attempts(
         metric, rows, extras, perm, item_seg, normals_t, aux_t
     )
-    side_k = _sign_positive(margins_k)  # [A, p_cap]
-    left_cnt_k = jax.ops.segment_sum(
-        (~side_k).astype(jnp.int32).T, item_seg, num_segments=g_cap
-    ).T  # [A, g_cap] via one 4-wide scatter-add
+    # per-attempt left counts WITHOUT a [p_cap, A] operand: vmap keeps
+    # each scatter-add's update row p_cap-minor ([A, p_cap] i32); the
+    # transposed 4-wide formulation materialized s32[p_cap, 4], which
+    # TPU pads 32x on the 4-wide minor dim (8.00G measured at p_cap=16.7M)
+    left_cnt_k = jax.vmap(
+        lambda m: jax.ops.segment_sum(
+            (~_sign_positive(m)).astype(jnp.int32), item_seg, num_segments=g_cap
+        )
+    )(margins_k)  # [A, g_cap]
     imb_k = jax.vmap(imbalance)(left_cnt_k)
     settled_k = imb_k < 0.95
     sel = jnp.where(
@@ -337,7 +349,13 @@ def _level_core(
     normals = jnp.take_along_axis(normals_t, sel[:, None, None], axis=1)[:, 0]
     aux = jnp.take_along_axis(aux_t, sel[:, None], axis=1)[:, 0]
     left_cnt = jnp.take_along_axis(left_cnt_k, sel[None, :], axis=0)[0]
-    side = jnp.take_along_axis(side_k, sel[item_seg][None, :], axis=0)[0]
+    # chosen side via an explicit 4-way margin select: materializing the
+    # [A, p_cap] pred table cost a 2G padded copy; these selects fuse
+    sel_item = sel[item_seg]  # [p_cap]
+    margin_sel = margins_k[A - 1]
+    for att in range(A - 2, -1, -1):
+        margin_sel = jnp.where(sel_item == att, margins_k[att], margin_sel)
+    side = _sign_positive(margin_sel)
     att_n = jnp.max(sel) + 1
 
     # random-split fallback past 0.99 imbalance (reference src/writer.rs:1218-1233)

@@ -46,14 +46,14 @@ def build_or_reuse(m, d, trees, seed=42):
     db = Database(f"/tmp/cross_{m}x{d}_t{trees}")
     w = Writer(db, 0, d)
     st = db.read().state(0)
-    have_items = (
-        st is not None
-        and st.metadata is not None
-        and st.metadata.dimensions == d
-        and len(st.metadata.items) == m
-    )
+    # metadata only exists after a build — reuse ITEMS from the store
+    # itself so a committed ingest outlives a failed build
+    have_items = st is not None and st.dims == d and len(st.store) == m
     have_forest = (
-        have_items and len(st.metadata.roots) == trees and not st.updated
+        have_items
+        and st.metadata is not None
+        and len(st.metadata.roots) == trees
+        and not st.updated
     )
     build_s = 0.0
     if have_items:
