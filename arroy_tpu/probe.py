@@ -74,6 +74,8 @@ PROBE_GATHER_BYTES = int(os.environ.get("ARROY_PROBE_GATHER_BYTES", 1 << 30))
 def _per_tree_bytes(idx, dtype: str) -> int:
     if dtype == "bq":
         per_item = n_words(idx.dims) * 4
+    elif dtype == "int8":
+        per_item = idx.dims + 4  # rows + per-item f32 scale
     else:
         per_item = (2 if dtype == "bf16" else 4) * idx.dims
     return max(int(1.3 * idx.n_items * per_item), 1)
@@ -87,14 +89,20 @@ def auto_dtype(idx) -> str:
     """Pick the block-row representation for ``dtype="auto"``.
 
     bf16 rows when ≥4 probe trees fit the HBM table budget (multi-tree
-    union is what buys recall — probe.py module docstring); otherwise
-    fall back to packed sign-bit blocks (16x smaller at 768-d: ~96 B
-    vs 1,536 B per item) scored by XOR-popcount with a 3x-widened exact
-    f32 re-score cut — the reference's binary-quantized oversampling
-    semantics (reference: src/distance/binary_quantized_cosine.rs:36)
-    applied to the probe's candidate stage instead of the whole index.
+    union is what buys recall — probe.py module docstring); else
+    per-item-max-abs int8 rows (2x smaller, ~0.4% dot error — near
+    bf16 recall) when ≥3 trees fit; else packed sign-bit blocks (16x
+    smaller than bf16 at 768-d: ~96 B vs 1,536 B per item) scored by
+    XOR-popcount with a search_k-tracking exact f32 re-score cut — the
+    reference's binary-quantized oversampling semantics (reference:
+    src/distance/binary_quantized_cosine.rs:36) applied to the probe's
+    candidate stage instead of the whole index.
     """
-    return "bf16" if PROBE_BYTES // _per_tree_bytes(idx, "bf16") >= 4 else "bq"
+    if PROBE_BYTES // _per_tree_bytes(idx, "bf16") >= 4:
+        return "bf16"
+    if PROBE_BYTES // _per_tree_bytes(idx, "int8") >= 3:
+        return "int8"
+    return "bq"
 
 
 def _next_pow2(n: int) -> int:
@@ -115,14 +123,15 @@ class ProbeTables:
     cent: jnp.ndarray  # [T*nb_max, sd] f32 block centroids
     caux: jnp.ndarray  # [T*nb_max] f32 centroid score term (‖c‖² or 0)
     valid: jnp.ndarray  # [T*nb_max] bool
-    blk_rows: jnp.ndarray  # [T*nb_max, P, sd] item rows (bf16 or f32)
+    blk_rows: jnp.ndarray  # [T*nb_max, P, sd] item rows (bf16/f32/int8/u32)
     blk_aux: jnp.ndarray  # [T*nb_max, P] per-item score term
     blk_slots: jnp.ndarray  # [T*nb_max, P] int32 slots, -1 pad
+    blk_scale: jnp.ndarray  # [T*nb_max, P] f32 int8 dequant scale ([1,1] else)
 
     def nbytes(self) -> int:
         total = 0
         for f in (self.cent, self.caux, self.valid, self.blk_rows,
-                  self.blk_aux, self.blk_slots):
+                  self.blk_aux, self.blk_slots, self.blk_scale):
             total += int(np.prod(f.shape)) * f.dtype.itemsize
         return total
 
@@ -207,10 +216,18 @@ def build_tables(
         # in-block score estimates dots from sign agreement scaled by
         # stored norms, so baux = ‖x‖ for EVERY metric here
         brows_out = np.zeros((NBT, P, n_words(sd)), np.uint32)
+    elif dtype == "int8":
+        # per-item max-abs int8: x ≈ scale_i · r_i8, dot error ~0.4%
+        brows_out = np.zeros((NBT, P, sd), np.int8)
     else:
         brows_out = np.zeros(
             (NBT, P, sd), ml_dtypes.bfloat16 if dtype == "bf16" else np.float32
         )
+    scale_all = (
+        np.zeros((NBT, P), np.float32)
+        if dtype == "int8"
+        else np.zeros((1, 1), np.float32)
+    )
     baux_all = np.zeros((NBT, P), np.float32)
     cent_all = np.zeros((NBT, sd), np.float32)
     caux_all = np.zeros(NBT, np.float32)
@@ -244,6 +261,13 @@ def build_tables(
                 caux_all[lo:hi] = np.einsum("nd,nd->n", c, c)
         if dtype == "bq":
             brows_out[lo:hi] = pack_bits_np(br)
+        elif dtype == "int8":
+            mx = np.abs(br).max(axis=2)  # [n, P]
+            sc = np.maximum(mx, 1e-30) / 127.0
+            brows_out[lo:hi] = np.clip(
+                np.rint(br / sc[..., None]), -127, 127
+            ).astype(np.int8)
+            scale_all[lo:hi] = np.where(mx > 0, sc, 0.0)
         else:
             brows_out[lo:hi] = br.astype(brows_out.dtype)
     brows = brows_out
@@ -263,6 +287,7 @@ def build_tables(
         blk_rows=_staged_rows_put(brows),
         blk_aux=jnp.asarray(baux_all),
         blk_slots=jnp.asarray(slots_all),
+        blk_scale=jnp.asarray(scale_all),
     )
 
 
@@ -287,7 +312,7 @@ def get_tables(idx, state, n_trees: int, block: int, dtype: str) -> ProbeTables:
 )
 def _probe_impl(
     metric, dims, k, k2, L, nb_max, scale,
-    cent, caux, valid, blk_rows, blk_aux, blk_slots,
+    cent, caux, valid, blk_rows, blk_aux, blk_slots, blk_scale,
     rows, norms, extras, slot_to_id,
     qv, qn, qe,
 ):
@@ -326,7 +351,9 @@ def _probe_impl(
         qbf = None
     else:
         qbits = qnorm = None
-        qbf = qv.astype(blk_rows.dtype)
+        qbf = qv.astype(
+            jnp.bfloat16 if blk_rows.dtype == jnp.int8 else blk_rows.dtype
+        )
 
     def score_blocks(bidc):
         """Gather + score one [B, c] slab of selected block ids (-1 pad)."""
@@ -358,10 +385,17 @@ def _probe_impl(
             else:
                 s2 = baux * bqdot  # raw dot up to the ‖q‖/d_pad const
         else:
+            xb = blocks
+            if blk_rows.dtype == jnp.int8:
+                # dequant AFTER the dot: x ≈ scale_i·r_i8, so
+                # q·x ≈ scale_i·(q_bf16·r_bf16); int8→bf16 is exact
+                xb = blocks.astype(jnp.bfloat16)
             d2 = jnp.einsum(
-                "bcpd,bd->bcp", blocks, qbf,
+                "bcpd,bd->bcp", xb, qbf,
                 preferred_element_type=jnp.float32,
             )
+            if blk_rows.dtype == jnp.int8:
+                d2 = d2 * blk_scale[safe]
             if name == "euclidean" or name == "manhattan":
                 s2 = 2.0 * d2 - baux
             elif name == "cosine":
@@ -377,6 +411,8 @@ def _probe_impl(
     C = T * L
     if blk_rows.dtype == jnp.uint32:
         per_slot = blk_rows.shape[-1] * 8
+    elif blk_rows.dtype == jnp.int8:
+        per_slot = blk_rows.shape[-1] * 4  # i8 gather + bf16 upcast + scale
     else:
         per_slot = blk_rows.shape[-1] * (
             6 if blk_rows.dtype == jnp.bfloat16 else 8
@@ -422,23 +458,62 @@ def _probe_impl(
         else:
             sel_s, cand = allv, alls
 
-    # 3. exact f32 re-score of the k2 winners + slot-dedup + top-k
-    cs = jnp.maximum(cand, 0)
-    x = rows[cs].astype(jnp.float32)
-    xn = norms[cs]
-    xe = extras[cs]
-    d = metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
-    d = jnp.where((cand >= 0) & (sel_s > -_INF), d, _INF)
+    # 3. exact f32 re-score of the k2 winners + slot-dedup + top-k.
+    # dedup FIRST (cross-tree duplicate rate is 20-30% at T=4..8) so the
+    # re-score gathers each surviving slot once; past the gather budget
+    # (sign-bit tables scale k2 with search_k — see make_probe_fn) the
+    # re-score runs in chunks with per-chunk top-k and one final merge.
     order = jnp.argsort(cand, axis=1)
     ss = jnp.take_along_axis(cand, order, axis=1)
-    sd_ = jnp.take_along_axis(d, order, axis=1)
+    sv = jnp.take_along_axis(sel_s, order, axis=1)
     dup = jnp.concatenate(
         [jnp.zeros((b, 1), bool), ss[:, 1:] == ss[:, :-1]], axis=1
     )
-    sd_ = jnp.where(dup, _INF, sd_)
-    neg, top_i = jax.lax.top_k(-sd_, k)
+    live = (ss >= 0) & (sv > -_INF) & ~dup
+
+    def exact_chunk(slots_c, live_c):
+        cs = jnp.maximum(slots_c, 0)
+        x = rows[cs].astype(jnp.float32)
+        xn = norms[cs]
+        xe = extras[cs]
+        d = metric.built_distance(
+            qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe
+        )
+        return jnp.where(live_c, d, _INF)
+
+    kq = ss.shape[1]  # actual candidate width (== k2 unless pool < cut)
+    per_cand = rows.shape[1] * 8  # gathered f32 rows + distance temps
+    ck = max(k, int(PROBE_GATHER_BYTES) // max(b * per_cand, 1))
+    if kq <= ck:
+        sd_ = exact_chunk(ss, live)
+        neg, top_i = jax.lax.top_k(-sd_, k)
+        sel_slots = jnp.take_along_axis(ss, top_i, axis=1)
+    else:
+        nch = -(-kq // ck)
+        pad = nch * ck - kq
+        if pad:
+            ss = jnp.concatenate(
+                [ss, jnp.full((b, pad), -1, ss.dtype)], axis=1
+            )
+            live = jnp.concatenate(
+                [live, jnp.zeros((b, pad), bool)], axis=1
+            )
+        ss3 = ss.reshape(b, nch, ck).transpose(1, 0, 2)
+        lv3 = live.reshape(b, nch, ck).transpose(1, 0, 2)
+
+        def body(carry, xs):
+            slots_c, live_c = xs
+            dc = exact_chunk(slots_c, live_c)
+            negc, ic = jax.lax.top_k(-dc, k)
+            return carry, (negc, jnp.take_along_axis(slots_c, ic, axis=1))
+
+        _, (negs, slts) = jax.lax.scan(body, 0, (ss3, lv3))
+        alln = negs.transpose(1, 0, 2).reshape(b, nch * k)
+        alls = slts.transpose(1, 0, 2).reshape(b, nch * k)
+        neg, top_i = jax.lax.top_k(alln, k)
+        sel_slots = jnp.take_along_axis(alls, top_i, axis=1)
     out_d = -neg
-    ids = slot_to_id[jnp.maximum(jnp.take_along_axis(ss, top_i, axis=1), 0)]
+    ids = slot_to_id[jnp.maximum(sel_slots, 0)]
     out_d = jnp.where(
         out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
     )
@@ -482,18 +557,25 @@ def make_probe_fn(
     k = max(1, int(count))
     # generous exact-rescore cut: the [B, k2] final gather is cheap and
     # washes out bf16 selection noise + cross-tree duplicates occupying
-    # k2 slots (dup rate ~20-30% at T=4..8).  sign-bit blocks widen it
-    # 3x — the reference's BQ oversampling constant
+    # k2 slots (dup rate ~20-30% at T=4..8).  sign-bit blocks score
+    # with real error at high d, so their cut tracks HALF the candidate
+    # budget (a fixed cut made recall DECREASE with search_k at 1M x
+    # 768: the sign-score top-2048 converges to a fixed set while the
+    # pool grows — crossover_r03) with the reference's 3x BQ
+    # oversampling constant as the floor
     # (reference: src/distance/binary_quantized_cosine.rs:36)
     over = 3 if dtype == "bq" else 1
-    k2 = min(_next_pow2(max(32 * k * over, 512 * over)), T * L * P)
+    floor = max(32 * k * over, 512 * over)
+    if dtype == "bq":
+        floor = max(floor, int(search_k) // 2)
+    k2 = min(_next_pow2(floor), T * L * P)
     scale = 2 if idx.metric.name in ("euclidean", "manhattan") else 1
 
     def fn(qv, qn, qe, qf):
         return _probe_impl(
             idx.metric, idx.dims, k, int(k2), int(L), int(nb_max), int(scale),
             tabs.cent, tabs.caux, tabs.valid,
-            tabs.blk_rows, tabs.blk_aux, tabs.blk_slots,
+            tabs.blk_rows, tabs.blk_aux, tabs.blk_slots, tabs.blk_scale,
             idx.rows, idx.norms, idx.extras, idx.slot_to_id,
             qv, qn, qe,
         )

@@ -399,10 +399,12 @@ class Reader:
         ``traversal="xla"`` keeps the bit-exact reference order.
         ``probe_trees`` / ``probe_block`` tune the probed-tree count
         and block size; ``probe_dtype`` picks the block-row storage
-        ("bf16", "f32", or "bq" packed sign bits scored by XOR-popcount
-        with a 3x-widened exact re-score — 16x smaller tables at 768-d,
-        how high-d corpora fit the probe HBM budget).  "auto" = bf16
-        when ≥4 probe trees fit `ARROY_PROBE_BYTES`, else bq.
+        ("bf16", "f32", "int8" per-item-max-abs rows at half the bf16
+        footprint and ~0.4% dot error, or "bq" packed sign bits scored
+        by XOR-popcount with a search_k/2 exact re-score cut — 16x
+        smaller tables at 768-d, how the highest-d corpora fit the
+        probe HBM budget).  "auto" = bf16 when ≥4 probe trees fit
+        `ARROY_PROBE_BYTES`, int8 when ≥3 fit, else bq.
         """
         qb = QueryBuilder(self, count)
         if search_k is not None:

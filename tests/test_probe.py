@@ -137,6 +137,54 @@ def test_probe_bq_tables_recall(metric):
     assert rec >= 0.85, f"{metric}: bq probe recall {rec}"
 
 
+@pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot-product"])
+def test_probe_int8_tables_recall(metric):
+    # per-item-max-abs int8 rows (half the bf16 footprint): ~0.4% dot
+    # error means recall tracks the bf16 tables at the same budget
+    db, r, q = _build(metric=metric)
+    exact = r.exact_by_vectors(q, 10)
+    ex = [set(i for i, _ in row) for row in exact]
+    s = r.searcher(10, search_k=1200, engine="forest", traversal="probe",
+                   probe_trees=4, probe_block=16, probe_dtype="int8")
+    got = s(q)
+    rec = np.mean([len(set(i for i, _ in g) & e) / 10 for g, e in zip(got, ex)])
+    assert rec >= 0.9, f"{metric}: int8 probe recall {rec}"
+
+
+def test_probe_int8_matches_bf16_selection():
+    # int8 and bf16 tables should pick near-identical final top-k
+    db, r, q = _build(metric="euclidean")
+    kw = dict(search_k=1500, engine="forest", traversal="probe",
+              probe_trees=4, probe_block=16)
+    a = r.searcher(10, probe_dtype="bf16", **kw)(q)
+    b = r.searcher(10, probe_dtype="int8", **kw)(q)
+    agree = np.mean(
+        [
+            len({i for i, _ in ra} & {i for i, _ in rb}) / 10
+            for ra, rb in zip(a, b)
+        ]
+    )
+    assert agree >= 0.9, agree
+
+
+def test_probe_auto_dtype_int8_tier():
+    from arroy_tpu import probe as probe_mod
+
+    db, r, q = _build(m=500, dims=32)
+    idx = r._device()
+    old = probe_mod.PROBE_BYTES
+    try:
+        # budget fits 3 int8 trees but <4 bf16 trees -> int8 tier
+        probe_mod.PROBE_BYTES = 3 * probe_mod._per_tree_bytes(idx, "int8")
+        assert probe_mod.PROBE_BYTES < 4 * probe_mod._per_tree_bytes(idx, "bf16")
+        assert probe_mod.auto_dtype(idx) == "int8"
+        # starved below 3 int8 trees -> bq
+        probe_mod.PROBE_BYTES = 3 * probe_mod._per_tree_bytes(idx, "int8") - 1
+        assert probe_mod.auto_dtype(idx) == "bq"
+    finally:
+        probe_mod.PROBE_BYTES = old
+
+
 def test_probe_bq_distances_are_exact_f32():
     # whatever the candidate tables store, reported distances come from
     # the exact f32 re-score and match the reference formulas
@@ -163,10 +211,34 @@ def test_probe_auto_dtype_budget_policy():
     try:
         probe_mod.PROBE_BYTES = 64 << 30
         assert probe_mod.auto_dtype(idx) == "bf16"
+        # below 4 bf16 trees the next tier is int8 (not straight to bq)
         probe_mod.PROBE_BYTES = 4 * probe_mod._per_tree_bytes(idx, "bf16") - 1
-        assert probe_mod.auto_dtype(idx) == "bq"
+        assert probe_mod.auto_dtype(idx) == "int8"
     finally:
         probe_mod.PROBE_BYTES = old
+
+
+def test_probe_bq_recall_monotonic_in_search_k():
+    # regression (crossover_r03, 1M x 768): with sign-bit tables and a
+    # FIXED exact-re-score cut, growing search_k grew the noisy
+    # candidate pool while the same 2048 sign-ranked slots got the
+    # exact re-score — recall DECREASED with search_k (0.82 -> 0.61).
+    # the cut now tracks search_k/2 for bq, so more budget can only
+    # widen the exactly-re-scored set.
+    db, r, q = _build(m=4000, dims=64)
+    exact = r.exact_by_vectors(q, 10)
+    ex = [set(i for i, _ in row) for row in exact]
+
+    def rec_at(sk):
+        s = r.searcher(10, search_k=sk, engine="forest", traversal="probe",
+                       probe_trees=4, probe_block=16, probe_dtype="bq")
+        return np.mean(
+            [len(set(i for i, _ in g) & e) / 10 for g, e in zip(s(q), ex)]
+        )
+
+    r1, r2, r3 = rec_at(400), rec_at(1600), rec_at(3200)
+    assert r3 >= r2 - 0.02 and r2 >= r1 - 0.02, (r1, r2, r3)
+    assert r3 >= 0.9, r3
 
 
 def test_probe_search_k_scales_candidates():
