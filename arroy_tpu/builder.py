@@ -284,10 +284,27 @@ def _level_core(
     seg_len,
     seg_split,
     key,
+    f_cap=None,
 ):
-    """One build level over the whole frontier.  See module docstring."""
+    """One build level over the whole frontier.  See module docstring.
+
+    ``f_cap`` (static) bounds the number of SPLIT segments this level:
+    the frontier list holds every node created so far (finished
+    segments stay for monotone sort keys), so g_cap reaches the final
+    node-count bound (2M at 1.18M x 100 x 25) while the segments that
+    actually split per level are orders of magnitude fewer.  two-means
+    sampling — [*, A, 12, sd] gathers, THE per-level traffic hog — and
+    the per-attempt selection tables therefore run over a compacted
+    [f_cap] prefix of the split segments (host picks a pow4 rung ≥ the
+    exact per-level split count it already tracks); counts are
+    scattered back to the [g_cap] frame.  Values are pointwise
+    identical to the full-frame formulation (same per-(segment,
+    attempt) threefry keys; golden build tests pin byte equality).
+    """
     p_cap = perm.shape[0]
     g_cap = seg_start.shape[0]
+    if f_cap is None:
+        f_cap = g_cap
     # lane -> segment id without the 16.7M-lane binary search: one mark
     # per segment start, then a cumsum (identical to
     # searchsorted(seg_start, pos, 'right') - 1 for sorted starts,
@@ -298,12 +315,25 @@ def _level_core(
     item_seg = jnp.clip(jnp.cumsum(mark[:p_cap]) - 1, 0, g_cap - 1).astype(
         jnp.int32
     )
-    seg_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-        jnp.arange(g_cap, dtype=jnp.int32)
-    )
 
-    def imbalance(left_cnt):
-        n = seg_len.astype(jnp.float32)
+    # compact split-segment frame: sidx[c] = global id of the c-th split
+    # segment (ascending), inv[global] = compact id (split segments only)
+    (sidx,) = jnp.nonzero(seg_split, size=f_cap, fill_value=0)
+    sidx = sidx.astype(jnp.int32)
+    n_split = jnp.sum(seg_split.astype(jnp.int32))
+    c_iota = jnp.arange(f_cap, dtype=jnp.int32)
+    valid_c = c_iota < n_split
+    inv = (
+        jnp.zeros(g_cap, jnp.int32)
+        .at[jnp.where(valid_c, sidx, g_cap)]
+        .set(c_iota, mode="drop")
+    )
+    item_cseg = inv[item_seg]  # [p_cap] compact id (junk for non-split)
+    ss_c = seg_start[sidx]
+    sl_c = seg_len[sidx]
+
+    def imbalance_c(left_cnt):
+        n = sl_c.astype(jnp.float32)
         f = jnp.where(n > 0, left_cnt.astype(jnp.float32) / jnp.where(n > 0, n, 1.0), 0.5)
         return jnp.maximum(f, 1.0 - f)
 
@@ -315,51 +345,69 @@ def _level_core(
     # which re-read the whole corpus ~3.15x per level on chip.
     A = 4
 
-    # per-(segment, attempt) keys: fold_in(seg_key, attempt), identical
-    # stream to the sequential retry loop this replaces.  The attempt
-    # axis stays MINOR end to end ([g_cap, A, ...]) — see _two_means
-    # and _margins_all_attempts for the measured layout hazards
+    # per-(segment, attempt) keys: fold_in(fold_in(key, global_seg_id),
+    # attempt) — the GLOBAL id keeps the stream identical to the
+    # full-frame formulation.  The attempt axis stays MINOR end to end
+    # ([f_cap, A, ...]) — see _two_means and _margins_all_attempts for
+    # the measured layout hazards
     keys_a = jax.vmap(
-        lambda k: jax.vmap(lambda a: jax.random.fold_in(k, a))(
-            jnp.arange(A, dtype=jnp.int32)
-        )
-    )(seg_keys)  # [g_cap, A]
+        lambda i: jax.vmap(
+            lambda a: jax.random.fold_in(jax.random.fold_in(key, i), a)
+        )(jnp.arange(A, dtype=jnp.int32))
+    )(sidx)  # [f_cap, A]
     normals_t, aux_t = _two_means(
-        metric, dims, rows, extras, hnorms, perm, seg_start, seg_len, keys_a
+        metric, dims, rows, extras, hnorms, perm, ss_c, sl_c, keys_a
     )
     margins_k = _margins_all_attempts(
-        metric, rows, extras, perm, item_seg, normals_t, aux_t
+        metric, rows, extras, perm, item_cseg, normals_t, aux_t
     )
     # per-attempt left counts WITHOUT a [p_cap, A] operand: vmap keeps
     # each scatter-add's update row p_cap-minor ([A, p_cap] i32); the
     # transposed 4-wide formulation materialized s32[p_cap, 4], which
-    # TPU pads 32x on the 4-wide minor dim (8.00G measured at p_cap=16.7M)
+    # TPU pads 32x on the 4-wide minor dim (8.00G measured at p_cap=16.7M).
+    # non-split lanes are routed to the dropped overflow segment so they
+    # cannot corrupt a real compact slot's count.
+    cseg_m = jnp.where(seg_split[item_seg], item_cseg, f_cap)
     left_cnt_k = jax.vmap(
         lambda m: jax.ops.segment_sum(
-            (~_sign_positive(m)).astype(jnp.int32), item_seg, num_segments=g_cap
-        )
-    )(margins_k)  # [A, g_cap]
-    imb_k = jax.vmap(imbalance)(left_cnt_k)
+            (~_sign_positive(m)).astype(jnp.int32), cseg_m, num_segments=f_cap + 1
+        )[:f_cap]
+    )(margins_k)  # [A, f_cap]
+    imb_k = jax.vmap(imbalance_c)(left_cnt_k)
     settled_k = imb_k < 0.95
     sel = jnp.where(
         jnp.any(settled_k, axis=0),
         jnp.argmax(settled_k, axis=0),
         A - 1,
-    ).astype(jnp.int32)  # [g_cap]
+    ).astype(jnp.int32)  # [f_cap]
     normals = jnp.take_along_axis(normals_t, sel[:, None, None], axis=1)[:, 0]
-    aux = jnp.take_along_axis(aux_t, sel[:, None], axis=1)[:, 0]
-    left_cnt = jnp.take_along_axis(left_cnt_k, sel[None, :], axis=0)[0]
+    aux_c = jnp.take_along_axis(aux_t, sel[:, None], axis=1)[:, 0]
+    left_cnt_c = jnp.take_along_axis(left_cnt_k, sel[None, :], axis=0)[0]
     # chosen side via an explicit 4-way margin select: materializing the
     # [A, p_cap] pred table cost a 2G padded copy; these selects fuse
-    sel_item = sel[item_seg]  # [p_cap]
+    sel_item = sel[item_cseg]  # [p_cap]
     margin_sel = margins_k[A - 1]
     for att in range(A - 2, -1, -1):
         margin_sel = jnp.where(sel_item == att, margins_k[att], margin_sel)
     side = _sign_positive(margin_sel)
-    att_n = jnp.max(sel) + 1
+    att_n = jnp.max(jnp.where(valid_c, sel, 0)) + 1
+
+    # scatter counts/aux back to the [g_cap] frame the frontier-layout
+    # update and the host bookkeeping consume (i32/f32/bool vectors —
+    # cheap; only the A-wide and d-wide tables stay compact)
+    scat = jnp.where(valid_c, sidx, g_cap)
+    left_cnt = (
+        jnp.zeros(g_cap, left_cnt_c.dtype).at[scat].set(left_cnt_c, mode="drop")
+    )
+    aux = jnp.zeros(g_cap, aux_c.dtype).at[scat].set(aux_c, mode="drop")
+
+    def imbalance_g(lc):
+        n = seg_len.astype(jnp.float32)
+        f = jnp.where(n > 0, lc.astype(jnp.float32) / jnp.where(n > 0, n, 1.0), 0.5)
+        return jnp.maximum(f, 1.0 - f)
 
     # random-split fallback past 0.99 imbalance (reference src/writer.rs:1218-1233)
-    none_mask = seg_split & (imbalance(left_cnt) > 0.99)
+    none_mask = seg_split & (imbalance_g(left_cnt) > 0.99)
     rnd = jax.random.bernoulli(jax.random.fold_in(key, 0x5EED), 0.5, (p_cap,))
     side = jnp.where(none_mask[item_seg], rnd, side)
     left_cnt = jnp.where(
@@ -393,12 +441,14 @@ def _level_core(
     return new_perm, left_cnt, none_mask, normals, aux, att_n
 
 
-_level_step = functools.partial(jax.jit, static_argnames=("metric", "dims"))(
-    _level_core
+_level_step = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "f_cap")
+)(_level_core)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "split_after", "f_cap")
 )
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "dims", "split_after"))
 def _level_step_dev(
     metric,
     dims,
@@ -413,6 +463,7 @@ def _level_step_dev(
     g_live,
     data_end,
     key,
+    f_cap=None,
 ):
     """Level step + device-side frontier layout update.
 
@@ -429,7 +480,7 @@ def _level_step_dev(
     g_cap = seg_start.shape[0]
     new_perm, left_cnt, none_mask, normals, aux, att_n = _level_core(
         metric, dims, rows, extras, hnorms, perm, seg_start, seg_len,
-        seg_split, key,
+        seg_split, key, f_cap=f_cap,
     )
 
     g_iota = jnp.arange(g_cap, dtype=jnp.int32)
@@ -705,6 +756,15 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             g_cap = max(g_cap, 256, _next_pow2(g + ns_next + 1))
             ss_d, sl_d, sp_d, g_d = _upload_state(g_cap)
 
+        # compact split-frontier rung (static shape): pow4 steps bound
+        # the per-level two-means tables by the ACTUAL split count the
+        # host already tracks, instead of the whole-build g_cap — ≤6
+        # compiled variants, and most levels run the small ones
+        f_rung = 256
+        while f_rung < ns_next:
+            f_rung *= 4
+        f_rung = min(f_rung, g_cap)
+
         level_key = jax.random.fold_in(key, level)
         _t0 = _time.perf_counter() if _timing else 0.0
         (
@@ -724,6 +784,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             g_d,
             data_end_d,
             level_key,
+            f_cap=f_rung,
         )
         if _timing:
             # block first so "dispatch" = dispatch+device compute and
@@ -747,8 +808,12 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         staged_idx = np.nonzero(seg_split[:g] & ~none_mask)[0]
         row_of_seg = np.full(g, -1, np.int64)
         if len(staged_idx):
+            # normals_d is in the COMPACT split frame (ascending split
+            # ids — _level_core); map the global staged ids into it
+            split_ids = np.nonzero(seg_split[:g])[0]
+            pos_c = np.searchsorted(split_ids, staged_idx)
             base = ctx.stage_chunk(
-                jnp.take(normals_d, jnp.asarray(staged_idx, dtype=jnp.int32), axis=0),
+                jnp.take(normals_d, jnp.asarray(pos_c, dtype=jnp.int32), axis=0),
                 aux[staged_idx],
             )
             row_of_seg[staged_idx] = base + np.arange(len(staged_idx))

@@ -6,7 +6,7 @@ runtime RESOURCE_EXHAUSTED whose compile-time check passed (the AOT
 relay validates program+args in isolation; it cannot see the other
 live buffers).
 
-    python scripts/memprobe_levelstep.py [n_slots] [d] [p_pad] [g_cap]
+    python scripts/memprobe_levelstep.py [n_slots] [d] [p_pad] [g_cap] [f_cap]
 """
 
 import os
@@ -24,6 +24,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_327_104
 D = int(sys.argv[2]) if len(sys.argv) > 2 else 768
 P = int(sys.argv[3]) if len(sys.argv) > 3 else 16_777_216
 G = int(sys.argv[4]) if len(sys.argv) > 4 else 131_072
+F = int(sys.argv[5]) if len(sys.argv) > 5 else G
 
 metric = metric_by_name("euclidean")
 sd = D
@@ -43,7 +44,7 @@ args = (
 )
 
 lowered = builder._level_step_dev.lower(
-    metric, D, D, *args
+    metric, D, D, *args, f_cap=F
 )
 print("lowered; compiling...", flush=True)
 compiled = lowered.compile()
