@@ -361,18 +361,22 @@ def _level_core(
     margins_k = _margins_all_attempts(
         metric, rows, extras, perm, item_cseg, normals_t, aux_t
     )
-    # per-attempt left counts WITHOUT a [p_cap, A] operand: vmap keeps
-    # each scatter-add's update row p_cap-minor ([A, p_cap] i32); the
-    # transposed 4-wide formulation materialized s32[p_cap, 4], which
-    # TPU pads 32x on the 4-wide minor dim (8.00G measured at p_cap=16.7M).
-    # non-split lanes are routed to the dropped overflow segment so they
-    # cannot corrupt a real compact slot's count.
-    cseg_m = jnp.where(seg_split[item_seg], item_cseg, f_cap)
-    left_cnt_k = jax.vmap(
-        lambda m: jax.ops.segment_sum(
-            (~_sign_positive(m)).astype(jnp.int32), cseg_m, num_segments=f_cap + 1
-        )[:f_cap]
-    )(margins_k)  # [A, f_cap]
+    # per-attempt left counts over CONTIGUOUS segment spans: one global
+    # cumsum per attempt + two boundary gathers at the f_cap frame.
+    # scatter-free by design — every batched-scatter formulation of
+    # these counts eventually materialized a 32x-padded s32[p_cap, A]
+    # updates copy on TPU (8.0G at p_pad=16.7M x 768; 16.0G at
+    # p_pad=33.5M x 100 when XLA merged the four scatters into one)
+    c_starts = jnp.clip(ss_c, 0, p_cap - 1)
+    c_ends = jnp.clip(ss_c + sl_c - 1, 0, p_cap - 1)
+
+    def count_one(m):
+        x = (~_sign_positive(m)).astype(jnp.int32)
+        s = jnp.cumsum(x)
+        cnt = s[c_ends] - s[c_starts] + x[c_starts]
+        return jnp.where(sl_c > 0, cnt, 0)
+
+    left_cnt_k = jax.vmap(count_one)(margins_k)  # [A, f_cap]
     imb_k = jax.vmap(imbalance_c)(left_cnt_k)
     settled_k = imb_k < 0.95
     sel = jnp.where(
