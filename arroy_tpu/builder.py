@@ -228,7 +228,9 @@ def _margins_chunked(metric, rows, extras, perm, item_seg, normals, aux):
     return jax.lax.map(chunk_fn, idx).reshape(p_cap)
 
 
-def _margins_all_attempts(metric, rows, extras, perm, item_seg, normals_t, aux_t):
+def _margins_all_attempts(
+    metric, rows, extras, perm, item_cseg_mono, normals_t, aux_t, seg_min_len=1
+):
     """[A, p_cap] margins for A retry attempts in ONE pass over the rows.
 
     The row gather ([p_cap, d] — GBs at 1M+) dominates a margin pass and
@@ -237,35 +239,75 @@ def _margins_all_attempts(metric, rows, extras, perm, item_seg, normals_t, aux_t
     rule run all attempts at once instead of re-reading the corpus per
     retry (measured 3.15 average full-frontier attempts per level).
 
-    The attempt tables arrive TRANSPOSED — normals_t [g_cap, A, sd],
-    aux_t [g_cap, A] — so the per-chunk normal fetch is a leading-axis
-    row gather, and the chunk result is returned flattened [chunk*A].
-    Both are load-bearing on TPU: a middle-axis gather made XLA copy
-    the whole multi-GB table inside the map loop, and any array whose
-    MINOR dim is A(=4) costs 32x lane padding (a stacked
-    [n_chunks, A, chunk] map output: 8.00G for a 268MB array; an
+    ``item_cseg_mono`` must be MONOTONE non-decreasing along lanes
+    (compact split-segment ids spread by cummax — _level_core): each
+    chunk then touches only a RANGE of ≤ chunk/seg_min_len + 2 compact
+    segments, so the per-chunk normals come from one small
+    dynamic-slice window (VMEM-resident) instead of a per-lane [A·sd]
+    HBM gather.  The windowing cut the measured margin pass ~4x at
+    33.5M lanes x 100-d (the per-lane normal gather was 1600 B/lane —
+    128x redundant at ~128-lane segments — and ran at HBM random-gather
+    speed).  Lane values are bit-identical either way.
+
+    The attempt tables arrive TRANSPOSED — normals_t [f_cap, A, sd],
+    aux_t [f_cap, A] — so the window fetch is a leading-axis slice,
+    and the chunk result is returned flattened [chunk*A]: any array
+    whose MINOR dim is A(=4) costs 32x lane padding (a stacked
+    [n_chunks, A, chunk] map output: 8.00G for a 268MB array; a
     [p_cap, A] reassembly temp: same) — each a measured compile-time
-    HBM OOM at 1M x 768 x 12 trees.  So the fetch is attempt-minor,
-    each chunk's RESULT is transposed to attempt-MAJOR while small,
-    and every global array keeps a large minor dim."""
+    HBM OOM at 1M x 768 x 12 trees.  So each chunk's RESULT is
+    transposed to attempt-MAJOR while small, and every global array
+    keeps a large minor dim."""
     p_cap = perm.shape[0]
-    g_cap, A, sd = normals_t.shape
+    f_cap, A, sd = normals_t.shape
     chunk = _margin_chunk(p_cap, int(rows.shape[1]), A)
-    idx = jnp.arange(p_cap, dtype=jnp.int32).reshape(-1, chunk)
-    normals_f = normals_t.reshape(g_cap, A * sd)
+    # compact-segment window per chunk: split segments hold more than
+    # seg_min_len-1 items, so a chunk of lanes spans at most
+    # chunk/seg_min_len + 2 compact ids (monotone ids; +2 for the
+    # straddling first/last segments)
+    w = min(chunk // max(int(seg_min_len), 1) + 2, f_cap)
+    n_chunks = p_cap // chunk
+    offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    normals_f = normals_t.reshape(f_cap, A * sd)
 
-    def chunk_fn(c):
-        sl = perm[c]
-        sg = item_seg[c]
+    # sub-tile the per-lane [A·sd] window reads: at full chunk width the
+    # gathered [chunk, A, sd] normals table is a ~420MB HBM temp (read+
+    # written once per chunk — measured ~1.7s/level at 33.5M x 100); at
+    # 32k lanes it is ~52MB, VMEM-class, and fuses
+    sub = min(32768, chunk)
+    nsub = chunk // sub
+
+    def chunk_fn(off):
+        # scalar-offset dynamic slices, NOT index-array gathers: a
+        # perm[c]-style fetch of contiguous lanes compiled to a per-row
+        # gather (~10-38 ns/row on chip — ~0.7s/level of pure overhead
+        # at 33.5M lanes); true slices stream
+        sl = jax.lax.dynamic_slice(perm, (off,), (chunk,))
+        sg = jax.lax.dynamic_slice(item_cseg_mono, (off,), (chunk,))
         v = rows[sl]  # [chunk, sd] — once for all attempts
-        n = normals_f[sg].reshape(chunk, A, sd)
-        base = jax.vmap(metric.base_dot, in_axes=(1, None))(n, v)  # [A, chunk]
-        qf = extras[sl] if metric.has_extra else 1.0
-        out = base + aux_t[sg].T * qf  # [A, chunk]
-        return out.reshape(A * chunk)
+        qf = extras[sl] if metric.has_extra else jnp.ones(chunk, jnp.float32)
+        c0 = jnp.minimum(sg[0], f_cap - w)
+        n_win = jax.lax.dynamic_slice(normals_f, (c0, 0), (w, A * sd))
+        a_win = jax.lax.dynamic_slice(aux_t, (c0, 0), (w, A))
+        lid = sg - c0  # [chunk] local window ids, < w by construction
 
-    out = jax.lax.map(chunk_fn, idx)  # [n_chunks, A*chunk]
-    n_chunks = out.shape[0]
+        def sub_fn(args):
+            vs, ls, qs = args  # [sub, sd], [sub], [sub]
+            n = n_win[ls].reshape(sub, A, sd)
+            base = jax.vmap(metric.base_dot, in_axes=(1, None))(n, vs)
+            return base + a_win[ls].T * qs  # [A, sub]
+
+        out = jax.lax.map(
+            sub_fn,
+            (
+                v.reshape(nsub, sub, sd),
+                lid.reshape(nsub, sub),
+                qf.reshape(nsub, sub),
+            ),
+        )  # [nsub, A, sub]
+        return out.transpose(1, 0, 2).reshape(A * chunk)  # attempt-major
+
+    out = jax.lax.map(chunk_fn, offs)  # [n_chunks, A*chunk]
     return (
         out.reshape(n_chunks, A, chunk)
         .transpose(1, 0, 2)
@@ -285,6 +327,7 @@ def _level_core(
     seg_split,
     key,
     f_cap=None,
+    seg_min_len=1,
 ):
     """One build level over the whole frontier.  See module docstring.
 
@@ -358,8 +401,15 @@ def _level_core(
     normals_t, aux_t = _two_means(
         metric, dims, rows, extras, hnorms, perm, ss_c, sl_c, keys_a
     )
+    # monotone compact ids for the margin pass's windowed normal fetch:
+    # non-split lanes inherit the previous split id (their margins are
+    # junk either way — every consumer gates on seg_split)
+    item_cseg_mono = jax.lax.cummax(
+        jnp.where(seg_split[item_seg], item_cseg, 0)
+    )
     margins_k = _margins_all_attempts(
-        metric, rows, extras, perm, item_cseg, normals_t, aux_t
+        metric, rows, extras, perm, item_cseg_mono, normals_t, aux_t,
+        seg_min_len=seg_min_len,
     )
     # per-attempt left counts over CONTIGUOUS segment spans: one global
     # cumsum per attempt + two boundary gathers at the f_cap frame.
@@ -446,7 +496,7 @@ def _level_core(
 
 
 _level_step = functools.partial(
-    jax.jit, static_argnames=("metric", "dims", "f_cap")
+    jax.jit, static_argnames=("metric", "dims", "f_cap", "seg_min_len")
 )(_level_core)
 
 
@@ -484,7 +534,7 @@ def _level_step_dev(
     g_cap = seg_start.shape[0]
     new_perm, left_cnt, none_mask, normals, aux, att_n = _level_core(
         metric, dims, rows, extras, hnorms, perm, seg_start, seg_len,
-        seg_split, key, f_cap=f_cap,
+        seg_split, key, f_cap=f_cap, seg_min_len=split_after + 1,
     )
 
     g_iota = jnp.arange(g_cap, dtype=jnp.int32)
