@@ -187,11 +187,12 @@ def _two_means_core(metric, dims, srows, sex, shn):
             norm = jnp.ones_like(di)
         ok = ~(jnp.isnan(norm) | (norm <= 0.0))
         nrm = jnp.where(ok, norm, 1.0)[:, None]
-        # the reference's if/else updates centroid q on exact ties
-        # (src/distance/mod.rs two_means); ties are common for BQ metrics
-        # whose training distances are small integers
+        # reference: src/distance/mod.rs:158-166 — `if di < dj {p} else if
+        # dj < di {q}`: on an EXACT tie NEITHER centroid updates.  Ties are
+        # common for BQ metrics whose training distances are small integers,
+        # so the strict comparisons matter distributionally there.
         updp = ok & (di < dj)
-        updq = ok & ~(di < dj)
+        updq = ok & (dj < di)
         newp = (p * ic[:, None] + k / nrm) / (ic[:, None] + 1.0)
         newq = (q * jc[:, None] + k / nrm) / (jc[:, None] + 1.0)
         php = metric.tm_init(newp, pe)

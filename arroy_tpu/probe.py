@@ -534,8 +534,10 @@ def make_probe_fn(
 
     ``search_k`` keeps arroy's candidate-budget semantics: the probe
     touches ``T·L·P ≈ search_k`` item slots (L = per-tree probed
-    blocks).  Filters are not handled here — `make_search_fn` routes
-    filtered searches to the masked exact engine first.
+    blocks).  Filters are not handled here — `make_search_fn` serves
+    filtered searches through the reference-semantic traversal loop
+    (and `Searcher(engine="auto")` routes them to the masked exact
+    engine one layer up).
     """
     if not supports(idx.metric):
         raise ValueError("probe engine: binary-quantized metrics unsupported")

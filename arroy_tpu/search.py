@@ -940,17 +940,15 @@ def make_search_fn(
     csr_total = max(int(idx.leaf_items.shape[0]) - idx.max_leaf, 1)
     sk_exact = min(max(search_k, count), csr_total)
 
-    if has_filter and exact_engine_supported(idx.metric):
-        # Filters at ANY corpus size: serve exact over the masked
-        # distance matrix (the streaming chunked scan consumes the same
-        # `live` mask past the [B, M] budget, so this holds for corpora
-        # of any HBM-resident size).  The traversal's filtered loop pays
-        # a window compaction per pop and needs a 1/selectivity pop
-        # budget — on TPU the masked matmul is 2-3 orders of magnitude
-        # faster at 10% selectivity and recall 1.0 at every selectivity
-        # (the roaring-∩ role, reference: src/reader.rs:354-360).
-        return make_exact_fn(idx, count, filter_slots)
-
+    # NOTE: filtered queries here keep TRAVERSAL semantics (the
+    # reference's roaring-∩-at-leaves contract incl. the search_k budget,
+    # src/reader.rs:345-360) — this is the `nns()` path.  The "filters →
+    # masked exact matmul at any size" routing lives one layer up, in
+    # `Searcher(engine="auto")` (reader.py), which is the documented
+    # auto-policy layer; PARITY.md deviation 9.  The one shortcut below
+    # (filter pool ≤ search_k) is semantically EQUAL to the traversal:
+    # with fewer filtered items than the candidate budget the reference's
+    # queue drains completely and collects the whole pool.
     if has_filter and len(filter_slots) <= sk_exact:
         # The filter pool fits inside the candidate budget: the reference's
         # traversal would (best case) collect exactly these items before

@@ -428,6 +428,7 @@ class Writer:
             chunk = budget_items if budget_items is not None else len(insert_slots)
             routed_all: dict[int, list[np.ndarray]] = {}
             for off in range(0, len(insert_slots), max(chunk, 1)):
+                cancelled()  # per routing chunk (reference: src/writer.rs:1178,1196)
                 part = insert_slots[off : off + chunk]
                 routed = route_items(
                     ctx,
@@ -523,6 +524,10 @@ class Writer:
             for gi, group in enumerate(groups):
                 if not group:
                     continue
+                # cancel granularity: between grow groups as well as
+                # between levels inside grow_trees (reference polls at
+                # every recursion step, src/writer.rs:117-124)
+                ctx.check_cancel()
                 # group 0 keeps the ungrouped key so single-group builds
                 # (every test/golden) stay byte-identical; later groups
                 # MUST differ or identical seed item-sets (new trees over
@@ -542,6 +547,7 @@ class Writer:
         attempts: dict[int, int] = {}
         _MAX_REGROW = 8
         while stack:
+            ctx.check_cancel()  # per budget-mode regrow step
             nid, slots = stack.pop()
             slots = np.asarray(slots, dtype=np.int32)
             att = attempts.get(nid, 0)

@@ -164,3 +164,29 @@ def test_grow_group_batching_matches_single_group():
     assert f1.roots == f2.roots
     for nid in f1.leaves:
         np.testing.assert_array_equal(f1.leaves[nid], f2.leaves[nid])
+
+
+def test_two_means_tie_updates_neither_centroid():
+    """reference: src/distance/mod.rs:158-166 — `if di < dj {p} else if
+    dj < di {q}`: an EXACT tie updates NEITHER centroid.  Ties are the
+    norm for BQ metrics (integer training distances), so craft one: both
+    centroid seeds are hamming-equidistant from every refinement draw."""
+    import jax.numpy as jnp
+
+    from arroy_tpu.builder import _two_means_core
+    from arroy_tpu.metrics import BinaryQuantizedEuclidean as BQE
+    from arroy_tpu.ops.binary import pack_bits_np
+
+    d = 64
+    p = np.ones(d, np.float32)               # +1^64
+    q = -np.ones(d, np.float32)              # -1^64
+    k = np.concatenate([np.ones(d // 2, np.float32), -np.ones(d // 2, np.float32)])
+    rows = np.stack([p, q] + [k] * 10)       # [12, 64] -> packed [12, 2]
+    srows = jnp.asarray(pack_bits_np(rows))[None]          # [1, 12, 2]
+    zeros = jnp.zeros((1, 12), jnp.float32)
+    normals, aux = _two_means_core(BQE, d, srows, zeros, zeros)
+    # every draw ties (hamming 32 from both seeds) -> centroids stay at
+    # the seeds -> normal = sign(p - q) = +1^64, bias = 0 exactly.
+    expect_bits = np.asarray(pack_bits_np(np.ones((1, d), np.float32)))
+    np.testing.assert_array_equal(np.asarray(normals[0])[None], expect_bits)
+    assert float(aux[0]) == 0.0

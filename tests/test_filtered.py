@@ -70,3 +70,29 @@ def test_filter_budget_scales_with_selectivity():
     tenth = pops_budget(dev, 100, False, 0.1)
     assert full <= half <= tenth <= dev.n_nodes + len(dev.roots)
     assert half >= 2 * 100 * 2  # ~1/selectivity growth
+
+
+def test_filtered_nns_is_traversal_semantic():
+    """PARITY deviation 9 contract: `nns()` (the reference API shape)
+    keeps traversal semantics for filtered queries — same results as an
+    explicit `searcher(engine="forest")`, honoring the search_k budget —
+    while `searcher()` (engine="auto") serves the masked exact engine at
+    recall 1.0 over the filter set."""
+    m = 3000
+    x = random_vectors(m, 16, seed=9)
+    db, w, r = build_db(x, n_trees=6, seed=9)
+    rng = np.random.default_rng(1)
+    cand = np.sort(rng.choice(m, size=m // 2, replace=False))
+    cand_set = set(int(c) for c in cand)
+    sk = 600  # < |filter|: the budget matters
+
+    for q in range(3):
+        via_nns = r.nns(10).search_k(sk).candidates(ItemSet(cand)).by_vector(x[q])
+        forest = r.searcher(
+            10, search_k=sk, candidates=ItemSet(cand), engine="forest"
+        )(x[q][None])[0]
+        assert via_nns == forest  # nns() == the reference-semantic traversal
+
+        auto = r.searcher(10, search_k=sk, candidates=ItemSet(cand))(x[q][None])[0]
+        want = _exact_filtered(r, x[q], cand_set, 10)
+        assert [i for i, _ in auto] == want  # searcher() auto == exact

@@ -9,6 +9,7 @@ determinism.
 """
 
 import numpy as np
+import pytest
 
 from arroy_tpu import Reader
 
@@ -73,21 +74,62 @@ def test_incremental_noop_build_is_stable():
     assert dump_index(r2) == before
 
 
-def test_committed_golden_snapshot():
-    """Pinned structural snapshot (regenerate deliberately if the build
-    algorithm or the threefry stream changes):
+GOLDEN_METRICS = (
+    "euclidean",
+    "manhattan",
+    "cosine",
+    "dot-product",
+    "binary quantized euclidean",
+    "binary quantized manhattan",
+    "binary quantized cosine",
+)
 
-        python - <<'PY'
-        from tests.util import build_db, random_vectors
-        from tests.test_golden import dump_index
-        x = random_vectors(64, 8, seed=31)
-        _, _, r = build_db(x, n_trees=2, seed=64)
-        open('tests/snapshots/forest_64x8_t2_seed64.txt', 'w').write(dump_index(r))
-        PY
-    """
+
+def slug(metric: str) -> str:
+    return metric.replace(" ", "_").replace("-", "_")
+
+
+def build_golden(metric: str) -> str:
+    """One pinned build per metric: 64 items x 8 dims, 2 trees, seed 64."""
+    x = random_vectors(64, 8, seed=31)
+    _, _, r = build_db(x, metric=metric, n_trees=2, seed=64)
+    return dump_index(r)
+
+
+def build_incremental_golden() -> str:
+    """Pinned add+delete+rebuild scenario (the reference's incremental
+    insta snapshots, src/tests/writer.rs:391-758)."""
+    x = random_vectors(64, 8, seed=31)
+    db, w, _ = build_db(x, n_trees=2, seed=64)
+    extra = random_vectors(16, 8, seed=77)
+    with db.write() as wtxn:
+        for j in range(16):
+            w.add_item(wtxn, 64 + j, extra[j])
+        for item in (0, 5, 10, 15, 20, 25, 30, 35):
+            w.del_item(wtxn, item)
+        w.builder(seed=65).n_trees(2).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    return dump_index(r)
+
+
+def _snap_path(name: str) -> str:
     import os
 
-    x = random_vectors(64, 8, seed=31)
-    _, _, r = build_db(x, n_trees=2, seed=64)
-    snap = os.path.join(os.path.dirname(__file__), "snapshots", "forest_64x8_t2_seed64.txt")
-    assert dump_index(r) == open(snap).read()
+    return os.path.join(os.path.dirname(__file__), "snapshots", name)
+
+
+@pytest.mark.parametrize("metric", GOLDEN_METRICS, ids=slug)
+def test_committed_golden_snapshot(metric):
+    """Pinned structural snapshots, one per metric (the insta-snapshot
+    role of src/tests/writer.rs:296-320, src/tests/binary_quantized.rs:47-54).
+
+    Regenerate DELIBERATELY with `python scripts/regen_goldens.py` when
+    the build algorithm or the threefry stream changes.
+    """
+    got = build_golden(metric)
+    assert got == open(_snap_path(f"golden_{slug(metric)}.txt")).read()
+
+
+def test_committed_golden_incremental():
+    got = build_incremental_golden()
+    assert got == open(_snap_path("golden_incremental.txt")).read()

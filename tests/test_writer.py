@@ -165,6 +165,51 @@ def test_build_cancelled():
         Reader.open(db.read(), 0, db)
 
 
+def test_build_cancelled_mid_grow():
+    """Cancel deep into the build: the closure is polled at grow-group /
+    level / routing-chunk granularity, so a late trigger still lands
+    (reference: src/tests/writer.rs:1346-1376 + the per-recursion polls
+    at src/writer.rs:117-124)."""
+    x = random_vectors(600, 8)
+    db = Database()
+    w = Writer(db, 0, 8)
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 10
+
+    with pytest.raises(BuildCancelled):
+        with db.write() as wtxn:
+            for i in range(600):
+                w.add_item(wtxn, i, x[i])
+            w.builder(seed=1).n_trees(8).cancel(cancel).build(wtxn)
+    assert calls["n"] > 10  # polled well past the trigger point
+    with pytest.raises(MissingMetadata):
+        Reader.open(db.read(), 0, db)
+
+
+def test_cancelled_incremental_build_preserves_previous_index():
+    x = random_vectors(300, 8, seed=2)
+    db, w, r = build_db(x, n_trees=3, seed=3)
+    before = r.nns(5).by_item(0)
+    extra = random_vectors(50, 8, seed=4)
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 5
+
+    with pytest.raises(BuildCancelled):
+        with db.write() as wtxn:
+            for j in range(50):
+                w.add_item(wtxn, 300 + j, extra[j])
+            w.builder(seed=5).n_trees(3).cancel(cancel).build(wtxn)
+    # the aborted txn leaves the previous committed index intact
+    r2 = Reader.open(db.read(), 0, db)
+    assert r2.nns(5).by_item(0) == before
+
+
 def test_progress_steps_reported():
     from arroy_tpu import MainStep
 
