@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P_  # alias where local `P` = block size
 
 from ..device import DeviceIndex
 from ..metrics import resolve_metric
@@ -42,10 +43,14 @@ def _pad_to(arr: np.ndarray, n: int, fill) -> np.ndarray:
 class ShardedForestIndex:
     """n_shards independent sub-forests queried in lock-step on the mesh."""
 
-    def __init__(self, mesh: Mesh, packs: list[dict], metric, dims: int):
+    def __init__(self, mesh: Mesh, packs: list[dict], metric, dims: int, states=None):
         self.mesh = mesh
         self.metric = metric
         self.dims = dims
+        #: per-shard (store, forest) handles — kept so the leaf-probe
+        #: tables can be packed lazily (enable_probe / probe_search)
+        self._states = states
+        self._probe_cache: dict = {}
         n = mesh.devices.size
         assert len(packs) == n
 
@@ -164,14 +169,16 @@ class ShardedForestIndex:
                         b.split_after(split_after)
                     b.build(wtxn)
                 st = db.read().state(0)
-                return DeviceIndex.build_np(metric, dims, st.store, st.forest)
+                return DeviceIndex.build_np(metric, dims, st.store, st.forest), st
 
         if parallel_build:
             with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
-                packs = list(ex.map(build_shard, range(n)))
+                results = list(ex.map(build_shard, range(n)))
         else:
-            packs = [build_shard(s) for s in range(n)]
-        return ShardedForestIndex(mesh, packs, metric, dims)
+            results = [build_shard(s) for s in range(n)]
+        packs = [p for p, _ in results]
+        states = [s for _, s in results]
+        return ShardedForestIndex(mesh, packs, metric, dims, states=states)
 
     # ------------------------------------------------------------------
     def search(self, queries: np.ndarray, count: int, search_k: int | None = None):
@@ -243,6 +250,133 @@ class ShardedForestIndex:
         ids = np.asarray(ids).astype(np.int64)[:, :count]
         dists = np.asarray(dists)[:, :count]
         if ids.shape[1] < count:  # nan-pad like search_batch does
+            pad = count - ids.shape[1]
+            ids = np.concatenate([ids, np.zeros((b, pad), ids.dtype)], axis=1)
+            dists = np.concatenate(
+                [dists, np.full((b, pad), np.nan, dists.dtype)], axis=1
+            )
+        return ids, dists
+
+    # ------------------------------------------------------------------
+    # leaf-probe fan-out (the TPU-shaped forest plan, per shard)
+    # ------------------------------------------------------------------
+    def enable_probe(self, n_trees="auto", block="auto", dtype="bf16"):
+        """Pack + upload per-shard leaf-probe block tables (probe.py),
+        stacked along the mesh axis.  Called lazily by `probe_search`;
+        idempotent per geometry."""
+        from ..probe import DEFAULT_BLOCK, build_tables_np
+
+        if self._states is None:
+            raise ValueError("probe fan-out needs per-shard states (build())")
+        P = DEFAULT_BLOCK if block == "auto" else int(block)
+        T_req = 8 if n_trees == "auto" else int(n_trees)
+        key = (T_req, P, dtype)
+        hit = self._probe_cache.get(key)
+        if hit is not None:
+            return hit
+        T = min(
+            min(T_req, len(st.forest.roots) or 1) for st in self._states
+        )
+        tabs = [
+            build_tables_np(
+                self.metric, self.dims, st.store, st.forest, T, P, dtype
+            )
+            for st in self._states
+        ]
+        nb = max(t["nb_max"] for t in tabs)
+
+        def repad(t, key_, fill):
+            a = t[key_]
+            if key_ == "blk_scale" and a.shape[0] == 1:
+                return a  # [1,1] placeholder (non-int8 tables)
+            # [T*nb_s, ...] -> [T, nb_s, ...] -> pad axis 1 -> flatten
+            a = a.reshape((t["n_trees"], t["nb_max"]) + a.shape[1:])
+            if t["nb_max"] < nb:
+                pad_shape = (t["n_trees"], nb - t["nb_max"]) + a.shape[2:]
+                a = np.concatenate(
+                    [a, np.full(pad_shape, fill, dtype=a.dtype)], axis=1
+                )
+            return a.reshape((t["n_trees"] * nb,) + a.shape[2:])
+
+        sh = lambda *spec: NamedSharding(self.mesh, P_(*spec))
+        stack = lambda key_, fill: jax.device_put(
+            jnp.asarray(np.stack([repad(t, key_, fill) for t in tabs])),
+            sh(*([AXIS] + [None] * tabs[0][key_].ndim)),
+        )
+        fills = [t["fill"] for t in tabs]
+        pack = {
+            "n_trees": T,
+            "block": P,
+            "nb_max": nb,
+            "fill": float(np.mean(fills)),
+            "cent": stack("cent", 0.0),
+            "caux": stack("caux", 0.0),
+            "valid": stack("valid", False),
+            "blk_rows": stack("blk_rows", 0),
+            "blk_aux": stack("blk_aux", 0.0),
+            "blk_slots": stack("blk_slots", -1),
+            "blk_scale": stack("blk_scale", 0.0),
+        }
+        self._probe_cache[key] = pack
+        return pack
+
+    def probe_search(
+        self,
+        queries: np.ndarray,
+        count: int,
+        search_k: int | None = None,
+        n_trees="auto",
+        block="auto",
+        dtype: str = "bf16",
+    ):
+        """Leaf-probe fan-out: each shard ranks + gathers + re-scores its
+        own block tables (no serial pop loop anywhere), then one
+        all_gather merges per-shard top-k on raw distances — the sharded
+        twin of `probe.make_probe_fn` (ICI carries n*k scalars/query)."""
+        from ..probe import _next_pow2 as np2
+
+        metric, dims = self.metric, self.dims
+        n = self.mesh.devices.size
+        b = len(np.asarray(queries))
+        if self.n_items_total == 0 or self.n_trees == 0:
+            return (
+                np.zeros((b, count), np.int64),
+                np.full((b, count), np.nan, np.float32),
+            )
+        pack = self.enable_probe(n_trees=n_trees, block=block, dtype=dtype)
+        if search_k is None:
+            search_k = count * self.n_trees * n * metric.default_oversampling
+        sk_local = max(-(-int(search_k) // n), count)
+        T, P, nb = pack["n_trees"], pack["block"], pack["nb_max"]
+        eff = max(int(T * P * pack["fill"]), 1)
+        L = max(1, min(-(-sk_local // eff), nb))
+        k = max(1, int(count))
+        over = 3 if dtype == "bq" else 1
+        floor = max(32 * k * over, 512 * over)
+        if dtype == "bq":
+            floor = max(floor, sk_local // 2)
+        k2 = min(np2(floor), T * L * P)
+
+        qv = metric.encode_np(queries.astype(np.float32))
+        qn = metric.item_norms_np(qv, dims)
+        qe = np.zeros(len(qv), np.float32)
+        rep = NamedSharding(self.mesh, P_(None, None))
+        rep1 = NamedSharding(self.mesh, P_(None))
+        ids, dists = _sharded_probe_search(
+            self.mesh, metric, dims, int(k), int(k2), int(L), int(nb),
+            2 if metric.name in ("euclidean", "manhattan") else 1,
+            int(count),
+            pack["cent"], pack["caux"], pack["valid"],
+            pack["blk_rows"], pack["blk_aux"], pack["blk_slots"],
+            pack["blk_scale"],
+            self.rows, self.norms, self.extras, self.slot_to_id,
+            jax.device_put(jnp.asarray(qv), rep),
+            jax.device_put(jnp.asarray(qn), rep1),
+            jax.device_put(jnp.asarray(qe), rep1),
+        )
+        ids = np.asarray(ids).astype(np.int64)[:, :count]
+        dists = np.asarray(dists)[:, :count]
+        if ids.shape[1] < count:
             pad = count - ids.shape[1]
             ids = np.concatenate([ids, np.zeros((b, pad), ids.dtype)], axis=1)
             dists = np.concatenate(
@@ -367,4 +501,73 @@ def _sharded_forest_search(
         qn,
         qe,
         qf,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "metric", "dims", "k", "k2", "L", "nb_max", "scale", "count",
+    ),
+)
+def _sharded_probe_search(
+    mesh, metric, dims, k, k2, L, nb_max, scale, count,
+    cent, caux, valid, blk_rows, blk_aux, blk_slots, blk_scale,
+    rows, norms, extras, slot_to_id,
+    qv, qn, qe,
+):
+    """shard_map over the mesh: per-shard leaf-probe (probe._probe_core,
+    raw distances) + all_gather top-k merge — same merge contract as
+    `_sharded_forest_search`."""
+    from ..probe import _probe_core
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS, None, None),  # cent
+            P(AXIS, None),  # caux
+            P(AXIS, None),  # valid
+            P(AXIS, None, None, None),  # blk_rows
+            P(AXIS, None, None),  # blk_aux
+            P(AXIS, None, None),  # blk_slots
+            P(AXIS, None, None),  # blk_scale
+            P(AXIS, None, None),  # rows
+            P(AXIS, None),  # norms
+            P(AXIS, None),  # extras
+            P(AXIS, None),  # slot_to_id
+            P(None, None),  # qv
+            P(None),
+            P(None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs replicated after all_gather+top_k
+    )
+    def step(ce, ca, va, br, ba, bs, bsc, rw, nm, ex, s2i, qv_r, qn_r, qe_r):
+        ce, ca, va = ce[0], ca[0], va[0]
+        br, ba, bs, bsc = br[0], ba[0], bs[0], bsc[0]
+        rw, nm, ex, s2i = rw[0], nm[0], ex[0], s2i[0]
+        loc_ids, loc_d = _probe_core(
+            metric, dims, k, k2, L, nb_max, scale,
+            ce, ca, va, br, ba, bs, bsc,
+            rw, nm, ex, s2i,
+            qv_r, qn_r, qe_r,
+            normalize=False,
+        )
+        all_d = jax.lax.all_gather(loc_d, AXIS, axis=1, tiled=True)
+        all_ids = jax.lax.all_gather(loc_ids, AXIS, axis=1, tiled=True)
+        kfin = min(count, all_d.shape[1])
+        neg, idx = jax.lax.top_k(-all_d, kfin)
+        out_d = -neg
+        out_ids = jnp.take_along_axis(all_ids, idx, axis=1)
+        out_d = jnp.where(
+            out_d < jnp.inf,
+            metric.normalized_distance(out_d, dims),
+            jnp.float32(jnp.nan),
+        )
+        return out_ids, out_d
+
+    return step(
+        cent, caux, valid, blk_rows, blk_aux, blk_slots, blk_scale,
+        rows, norms, extras, slot_to_id, qv, qn, qe,
     )

@@ -156,11 +156,14 @@ def _tree_leaves(forest, root: int) -> list[np.ndarray]:
     return out
 
 
-def build_tables(
+def build_tables_np(
     metric, dims: int, store, forest, n_trees: int, block: int, dtype: str = "bf16"
-) -> ProbeTables:
-    """Host-side pack of the probe block tables (one upload per searcher
-    geometry; cached on the DeviceIndex by `get_tables`)."""
+) -> dict:
+    """Host-side pack of the probe block tables as NUMPY arrays.
+
+    Shared by the single-chip `build_tables` (uploads to one device) and
+    the sharded forest fan-out (`parallel/forest.py` stacks per-shard
+    tables along the mesh axis before one sharded device_put)."""
     import ml_dtypes
 
     P = int(block)
@@ -272,22 +275,43 @@ def build_tables(
             brows_out[lo:hi] = br.astype(brows_out.dtype)
     brows = brows_out
 
+    n_real = int((slots_all >= 0).sum())
+    return {
+        "n_trees": T,
+        "block": P,
+        "nb_max": nb_max,
+        "fill": max(n_real / float(slots_all.size), 1e-6),
+        "cent": cent_all,
+        "caux": caux_all,
+        "valid": valid_all,
+        "blk_rows": brows,
+        "blk_aux": baux_all,
+        "blk_slots": slots_all,
+        "blk_scale": scale_all,
+    }
+
+
+def build_tables(
+    metric, dims: int, store, forest, n_trees: int, block: int, dtype: str = "bf16"
+) -> ProbeTables:
+    """Single-device probe tables (one upload per searcher geometry;
+    cached on the DeviceIndex by `get_tables`)."""
     from .models.items import _staged_rows_put
 
-    n_real = int((slots_all >= 0).sum())
+    t = build_tables_np(metric, dims, store, forest, n_trees, block, dtype)
     return ProbeTables(
-        n_trees=T,
-        block=P,
-        nb_max=nb_max,
-        fill=max(n_real / float(slots_all.size), 1e-6),
-        cent=jnp.asarray(cent_all),
-        caux=jnp.asarray(caux_all),
-        valid=jnp.asarray(valid_all),
+        n_trees=t["n_trees"],
+        block=t["block"],
+        nb_max=t["nb_max"],
+        fill=t["fill"],
+        cent=jnp.asarray(t["cent"]),
+        caux=jnp.asarray(t["caux"]),
+        valid=jnp.asarray(t["valid"]),
         # ~GBs at 1M+: chunked upload with tunnel-degradation backoff
-        blk_rows=_staged_rows_put(brows),
-        blk_aux=jnp.asarray(baux_all),
-        blk_slots=jnp.asarray(slots_all),
-        blk_scale=jnp.asarray(scale_all),
+        blk_rows=_staged_rows_put(t["blk_rows"]),
+        blk_aux=jnp.asarray(t["blk_aux"]),
+        blk_slots=jnp.asarray(t["blk_slots"]),
+        blk_scale=jnp.asarray(t["blk_scale"]),
     )
 
 
@@ -307,14 +331,12 @@ def get_tables(idx, state, n_trees: int, block: int, dtype: str) -> ProbeTables:
     return hit
 
 
-@functools.partial(
-    jax.jit, static_argnames=("metric", "dims", "k", "k2", "L", "nb_max", "scale")
-)
-def _probe_impl(
+def _probe_core(
     metric, dims, k, k2, L, nb_max, scale,
     cent, caux, valid, blk_rows, blk_aux, blk_slots, blk_scale,
     rows, norms, extras, slot_to_id,
     qv, qn, qe,
+    normalize=True,
 ):
     name = metric.name
     b = qv.shape[0]
@@ -514,11 +536,21 @@ def _probe_impl(
         sel_slots = jnp.take_along_axis(alls, top_i, axis=1)
     out_d = -neg
     ids = slot_to_id[jnp.maximum(sel_slots, 0)]
+    if not normalize:
+        # sharded fan-out merges raw built distances across shards first
+        # (parallel/forest.py); inf marks padding/dead lanes there
+        return ids, out_d
     out_d = jnp.where(
         out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
     )
     ids = jnp.where(jnp.isnan(out_d), jnp.uint32(0), ids)
     return ids, out_d
+
+
+_probe_impl = functools.partial(
+    jax.jit,
+    static_argnames=("metric", "dims", "k", "k2", "L", "nb_max", "scale", "normalize"),
+)(_probe_core)
 
 
 def make_probe_fn(
