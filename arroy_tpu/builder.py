@@ -718,7 +718,9 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         return
     import time as _time
 
-    _timing = os.environ.get("ARROY_BUILD_TIMING") == "1"
+    _timing_env = os.environ.get("ARROY_BUILD_TIMING", "")
+    _timing = _timing_env in ("1", "2")
+    _timing_levels = _timing_env == "2"
     _tt = {"dispatch": 0.0, "sync": 0.0, "stage": 0.0, "host": 0.0}
     _memdbg = os.environ.get("ARROY_MEM_DEBUG") == "1"
 
@@ -847,6 +849,15 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             jax.block_until_ready(left_cnt_d)
             _t1 = _time.perf_counter()
             _tt["dispatch"] += _t1 - _t0
+            if _timing_levels:
+                import sys as _sys
+
+                print(
+                    f"  level {level}: g={g} ns={ns_next} f_rung={f_rung}"
+                    f"  dispatch {_t1 - _t0:.2f}s",
+                    file=_sys.stderr,
+                    flush=True,
+                )
         if _memdbg:
             _mem_report(f"level={level} g={g} g_cap={g_cap}")
         # one bundled small fetch (counts, fallback flags, biases); the

@@ -1630,6 +1630,58 @@ _exact_bf16 = functools.partial(
 )(_exact_bf16_impl)
 
 
+def _exact_int8_impl(
+    metric, dims, k, c, rows, rows_i8, iscale, norms, extras, slot_to_id, live,
+    qv, qn, qe, qf,
+):
+    """Two-stage int8: quantized MXU dots select `c` candidates, exact
+    f32 re-score ranks them.
+
+    Rows are per-item max-abs int8 (x ≈ iscale_i · r_i8); queries are
+    per-row max-abs int8.  The int8 matmul reads HALF the bf16 corpus
+    bytes and runs the MXU at its int8 rate; the ~0.4%-relative dot
+    error only reorders candidates near rank c, which the exact f32
+    re-score of the top-c washes out (measured candidate recall ~0.99
+    at c=32 on 100k x 768 — results/exact_profile_r04.log)."""
+    name = metric.name
+    qmax = jnp.max(jnp.abs(qv), axis=1)
+    qsc = jnp.where(qmax > 0, qmax / 127.0, 1.0)  # [B]
+    qi8 = jnp.clip(jnp.round(qv / qsc[:, None]), -127, 127).astype(jnp.int8)
+    doti = jax.lax.dot_general(
+        qi8, rows_i8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, M] i32
+    dots = doti.astype(jnp.float32) * (qsc[:, None] * iscale[None, :])
+    if name == "euclidean":
+        x2 = _row_sq(rows)
+        score = 2.0 * dots - x2[None, :]
+    elif name == "cosine":
+        safe = jnp.where(norms > 0.0, norms, 1.0)
+        score = dots / safe[None, :]
+    else:  # dot-product: query extra coordinate is 0
+        score = dots
+    score = jnp.where(live[None, :], score, -_INF)
+    _, cand = jax.lax.approx_max_k(score, c, recall_target=0.95)
+
+    x = rows[cand]
+    xn = norms[cand]
+    xe = extras[cand]
+    d = metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
+    d = jnp.where(live[cand], d, _INF)
+    neg, top_idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    ids = slot_to_id[jnp.take_along_axis(cand, top_idx, axis=1)]
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    return ids, out_d
+
+
+_exact_int8 = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k", "c")
+)(_exact_int8_impl)
+
+
 def exact_engine_supported(metric) -> bool:
     return metric.binary or metric.name in (
         "euclidean",
@@ -1648,11 +1700,14 @@ def make_exact_fn(
     """Device-resident exact searcher: ``fn(qv, qn, qe, qf) -> (ids, d)``.
 
     Same contract as `make_search_fn` (device in, device out, pipelines
-    back-to-back).  ``precision``: "f32" single-stage, "bf16" two-stage
-    (bf16 candidate select + f32 re-score), "auto" = bf16 for f32
-    euclidean/cosine/dot-product, else the exact per-metric matrix path.
-    Filters mask distance columns — exact filtered search at any
-    selectivity (the roaring-∩ role, reference src/reader.rs:354-360).
+    back-to-back).  ``precision``: "f32x1" single-stage direct top_k,
+    "f32" matmul + top-c + exact re-score, "bf16" two-stage (bf16
+    candidate select + f32 re-score), "int8" two-stage (per-item max-abs
+    quantized MXU dots + f32 re-score — half the bf16 HBM read), "auto"
+    = bf16 for f32 euclidean/cosine/dot-product, else the exact
+    per-metric matrix path.  Filters mask distance columns — exact
+    filtered search at any selectivity (the roaring-∩ role, reference
+    src/reader.rs:354-360).
     """
     k = max(min(count, max(idx.n_items, 1)), 1)
     metric = idx.metric
@@ -1797,9 +1852,19 @@ def make_exact_fn(
             )
 
         return f32x1_fn
+    # candidate-select width for the two-stage modes: approx_max_k cost
+    # GROWS steeply with c on TPU (measured: c=128 adds +6 ms over the
+    # 3.5 ms matmul at [1024, 100k]; c=32 adds +0.5 ms), while candidate
+    # recall at c=32 is already ~0.99 — results/exact_profile_r04.log.
+    _c_env = os.environ.get("ARROY_EXACT_C")
+    c = (
+        int(_c_env)
+        if _c_env
+        else max(min(_next_pow2(3 * k), idx.cap), 32)
+    )
+
     if precision == "bf16":
         rows_bf16 = idx.rows.astype(jnp.bfloat16)  # cast once at bind time
-        c = max(min(_next_pow2(8 * k), idx.cap), 64)
 
         def bf16_fn(qv, qn, qe, qf):
             out = _maybe_scan(qv, qn, qe, qf, jnp.bfloat16)
@@ -1811,6 +1876,25 @@ def make_exact_fn(
             )
 
         return bf16_fn
+    if precision == "int8":
+        # per-item max-abs quantization, computed once at bind time on
+        # device (reads the f32 corpus once)
+        mx = jnp.max(jnp.abs(idx.rows), axis=1)
+        iscale = jnp.where(mx > 0, mx / 127.0, 1.0)
+        rows_i8 = jnp.clip(
+            jnp.round(idx.rows / iscale[:, None]), -127, 127
+        ).astype(jnp.int8)
+
+        def int8_fn(qv, qn, qe, qf):
+            out = _maybe_scan(qv, qn, qe, qf, jnp.bfloat16)
+            if out is not None:
+                return out
+            return _exact_int8(
+                metric, idx.dims, int(k), int(c), idx.rows, rows_i8, iscale,
+                idx.norms, idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,
+            )
+
+        return int8_fn
 
     c32 = max(min(_next_pow2(8 * k), idx.cap), 128)
 

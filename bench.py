@@ -44,7 +44,7 @@ M = int(os.environ.get("BENCH_M", 100_000))
 D = int(os.environ.get("BENCH_D", 768))
 N_TREES = int(os.environ.get("BENCH_TREES", 10))
 COUNT = int(os.environ.get("BENCH_K", 10))
-BATCH = int(os.environ.get("BENCH_BATCH", 1024))
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 ITERS = int(os.environ.get("BENCH_ITERS", 8))
 SEARCH_K = int(os.environ.get("BENCH_SEARCH_K", COUNT * N_TREES * 20))
 TARGET_RECALL = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
@@ -117,17 +117,21 @@ def _probe_tpu(timeout_s: float = 240.0, retries: int = 1) -> bool:
     return False
 
 
-def _measure(searcher, dq, iters, batch):
+def _measure(searcher, dqs, iters, batch):
+    """Each iteration runs a DISTINCT query batch: the axon relay caches
+    executions with bit-identical (program, inputs), so repeating one
+    batch can report cache-hit latency instead of device throughput
+    (measured 100x inflation — scripts/profile_exact2_r04.py)."""
     import jax
 
     t0 = time.perf_counter()
-    jax.block_until_ready(searcher.device_fn(*dq))
+    jax.block_until_ready(searcher.device_fn(*dqs[0]))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    outs = [searcher.device_fn(*dq) for _ in range(iters)]
+    outs = [searcher.device_fn(*dqs[i % len(dqs)]) for i in range(iters)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
-    return iters * batch / dt, compile_s, outs[-1]
+    return iters * batch / dt, compile_s, outs[0]
 
 
 def _recall(out, exact_sets, nq, count):
@@ -171,7 +175,9 @@ def main():
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(42)
-    x = make_corpus(rng, M + BATCH, D)
+    # ITERS distinct query batches (anti relay-cache — see _measure); the
+    # FIRST batch is the recall-oracle batch
+    x = make_corpus(rng, M + BATCH * ITERS, D)
     x, queries = x[:M], x[M:]
 
     # the built index persists across runs: a tunnel hiccup mid-bench only
@@ -218,10 +224,13 @@ def main():
 
     # --- exact engine: fastest mode that meets the recall target --------
     best_qps, best_recall, best_mode, best_compile = 0.0, 0.0, None, 0.0
-    for mode in ("f32x1", "bf16"):
+    for mode in ("f32x1", "bf16", "int8"):
         s = r.searcher(COUNT, engine="exact", precision=mode)
-        dq = s.prepare_queries(queries[:BATCH])
-        qps, compile_s, out = _measure(s, dq, ITERS, BATCH)
+        dqs = [
+            s.prepare_queries(queries[i * BATCH : (i + 1) * BATCH])
+            for i in range(ITERS)
+        ]
+        qps, compile_s, out = _measure(s, dqs, ITERS, BATCH)
         rec = _recall(out, exact_sets, nq, COUNT)
         tflops, mfu = _mfu(qps)
         log(
@@ -249,8 +258,11 @@ def main():
         fb = min(BATCH, 256)  # the traversal prefers narrower batches
         for attempt in range(3):
             s = r.searcher(COUNT, search_k=search_k, engine="forest")
-            dq = s.prepare_queries(queries[:fb])
-            qps, compile_s, out = _measure(s, dq, ITERS, fb)
+            dqs = [
+                s.prepare_queries(queries[i * BATCH : i * BATCH + fb])
+                for i in range(ITERS)
+            ]
+            qps, compile_s, out = _measure(s, dqs, ITERS, fb)
             rec = _recall(out, exact_sets, min(fb, nq), COUNT)
             log(f"forest[sk={search_k}]: {qps:.0f} qps  recall@{COUNT}={rec:.4f}")
             sub["forest_qps"] = round(qps, 1)
@@ -276,8 +288,11 @@ def main():
             s = r.searcher(
                 COUNT, search_k=search_k, engine="forest", traversal="probe"
             )
-            dq = s.prepare_queries(queries[:fb])
-            qps, compile_s, out = _measure(s, dq, ITERS, fb)
+            dqs = [
+                s.prepare_queries(queries[i * BATCH : i * BATCH + fb])
+                for i in range(ITERS)
+            ]
+            qps, compile_s, out = _measure(s, dqs, ITERS, fb)
             rec = _recall(out, exact_sets, min(fb, nq), COUNT)
             log(f"probe[sk={search_k}]: {qps:.0f} qps  recall@{COUNT}={rec:.4f}")
             sub["probe_qps"] = round(qps, 1)

@@ -97,17 +97,18 @@ def test_default_searcher_is_auto_exact():
 
 
 def test_filtered_search_routes_exact_at_any_scale(monkeypatch):
-    """Filtered searches route through the exact engine regardless of
-    corpus size (the >262k gate is gone): force the streaming-scan path
-    with a tiny matrix budget and check exact filtered results."""
+    """Filtered searches on engine="auto" route through the exact engine
+    regardless of corpus size (the >262k gate is gone): force the
+    streaming-scan path with a tiny matrix budget and check exact
+    filtered results.  (engine="forest" keeps traversal semantics for
+    filters — pinned by test_filtered_nns_is_traversal_semantic.)"""
     import arroy_tpu.search as search_mod
 
     monkeypatch.setattr(search_mod, "_EXACT_DOTS_BYTES", 1)
     monkeypatch.setattr(search_mod, "_EXACT_SCAN_CHUNK", 128)
     r, q = _build("euclidean", m=900, d=16, seed=29)
     allowed = ItemSet(np.arange(0, 900, 3, dtype=np.uint32))
-    # the forest engine reroutes filters to exact internally
-    got = r.searcher(10, search_k=100, engine="forest", candidates=allowed)(q)
+    got = r.searcher(10, search_k=100, engine="auto", candidates=allowed)(q)
     allow = set(range(0, 900, 3))
     oracle = r.exact_by_vectors(q, 900)
     for row, orc in zip(got, oracle):
@@ -215,3 +216,19 @@ def test_bf16_resident_serving(monkeypatch):
         len({i for i, _ in g} & set(map(int, wr))) for g, wr in zip(got, want)
     )
     assert hits / 80 >= 0.9, hits / 80
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot-product"])
+def test_exact_engine_int8_precision(metric):
+    """Two-stage int8 (quantized MXU dots + exact f32 re-score): top-k
+    must match the oracle on separable data — the ~0.4% dot error only
+    reorders candidates near rank c, which the re-score fixes."""
+    r, q = _build(metric, m=600, d=24, seed=33)
+    oracle = r.exact_by_vectors(q, 10)
+    s = r.searcher(10, engine="exact", precision="int8")
+    got = s(q)
+    hits = sum(
+        len(set(i for i, _ in o) & set(i for i, _ in g))
+        for o, g in zip(oracle, got)
+    )
+    assert hits / (len(q) * 10) >= 0.95, hits
