@@ -447,28 +447,26 @@ def _level_core(
     side = _sign_positive(margin_sel)
     att_n = jnp.max(jnp.where(valid_c, sel, 0)) + 1
 
-    # scatter counts/aux back to the [g_cap] frame the frontier-layout
-    # update and the host bookkeeping consume (i32/f32/bool vectors —
-    # cheap; only the A-wide and d-wide tables stay compact)
+    # random-split fallback past 0.99 imbalance (reference
+    # src/writer.rs:1218-1233), computed ENTIRELY in the compact frame:
+    # the host consumes compact per-level arrays (a [f_cap]-sized fetch
+    # instead of [g_cap] — g_cap reaches 2M at 1.18M x 25 while f_cap is
+    # the actual split count's rung), and only the i32 counts are
+    # scattered back for the device frontier-layout update.
+    none_c = valid_c & (imbalance_c(left_cnt_c) > 0.99)
+    rnd = jax.random.bernoulli(jax.random.fold_in(key, 0x5EED), 0.5, (p_cap,))
+    none_lane = seg_split[item_seg] & none_c[item_cseg]
+    side = jnp.where(none_lane, rnd, side)
+    # recount left sides for fallback segments over their contiguous
+    # spans (same cumsum trick as count_one; scatter-free)
+    x_rnd = (~side).astype(jnp.int32)
+    s_rnd = jnp.cumsum(x_rnd)
+    cnt_rnd = s_rnd[c_ends] - s_rnd[c_starts] + x_rnd[c_starts]
+    left_cnt_c = jnp.where(none_c, jnp.where(sl_c > 0, cnt_rnd, 0), left_cnt_c)
+
     scat = jnp.where(valid_c, sidx, g_cap)
     left_cnt = (
         jnp.zeros(g_cap, left_cnt_c.dtype).at[scat].set(left_cnt_c, mode="drop")
-    )
-    aux = jnp.zeros(g_cap, aux_c.dtype).at[scat].set(aux_c, mode="drop")
-
-    def imbalance_g(lc):
-        n = seg_len.astype(jnp.float32)
-        f = jnp.where(n > 0, lc.astype(jnp.float32) / jnp.where(n > 0, n, 1.0), 0.5)
-        return jnp.maximum(f, 1.0 - f)
-
-    # random-split fallback past 0.99 imbalance (reference src/writer.rs:1218-1233)
-    none_mask = seg_split & (imbalance_g(left_cnt) > 0.99)
-    rnd = jax.random.bernoulli(jax.random.fold_in(key, 0x5EED), 0.5, (p_cap,))
-    side = jnp.where(none_mask[item_seg], rnd, side)
-    left_cnt = jnp.where(
-        none_mask,
-        jax.ops.segment_sum((~side).astype(jnp.int32), item_seg, num_segments=g_cap),
-        left_cnt,
     )
 
     # stable within-segment partition WITHOUT a 16.7M-lane sort: the
@@ -493,7 +491,7 @@ def _level_core(
         .at[new_pos]
         .set(perm, mode="drop", unique_indices=True)
     )
-    return new_perm, left_cnt, none_mask, normals, aux, att_n
+    return new_perm, left_cnt, left_cnt_c, none_c, normals, aux_c, att_n, n_split
 
 
 _level_step = functools.partial(
@@ -501,10 +499,7 @@ _level_step = functools.partial(
 )(_level_core)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("metric", "dims", "split_after", "f_cap")
-)
-def _level_step_dev(
+def _level_body(
     metric,
     dims,
     split_after,
@@ -528,12 +523,14 @@ def _level_step_dev(
     split segments are replaced in place by their two children, finished
     segments carry over — so the frontier state never leaves the chip.
     The host replays the identical update in numpy from the (downloaded)
-    `left_cnt`/`none_mask` to do its bookkeeping (node-id allocation,
+    compact per-level arrays to do its bookkeeping (node-id allocation,
     split records, pending leaves); `tests/test_build.py` pins the two
     layouts against each other byte-for-byte.
     """
     g_cap = seg_start.shape[0]
-    new_perm, left_cnt, none_mask, normals, aux, att_n = _level_core(
+    (
+        new_perm, left_cnt, left_cnt_c, none_c, normals, aux_c, att_n, n_split,
+    ) = _level_core(
         metric, dims, rows, extras, hnorms, perm, seg_start, seg_len,
         seg_split, key, f_cap=f_cap, seg_min_len=split_after + 1,
     )
@@ -559,8 +556,76 @@ def _level_step_dev(
     sp2 = jnp.where(valid, out_split, False)
     return (
         new_perm, ss2, sl2, sp2, new_g,
-        left_cnt, none_mask, normals, aux, att_n,
+        left_cnt_c, none_c, normals, aux_c, att_n, n_split,
     )
+
+
+_level_step_dev = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "split_after", "f_cap")
+)(_level_body)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "split_after", "f_cap", "k")
+)
+def _grow_group(
+    metric,
+    dims,
+    split_after,
+    rows,
+    extras,
+    hnorms,
+    perm,
+    seg_start,
+    seg_len,
+    seg_split,
+    g_live,
+    data_end,
+    key,
+    level0,
+    f_cap,
+    k,
+):
+    """`k` fused build levels under one `lax.scan` — ONE dispatch and ONE
+    compact fetch per group instead of per level.
+
+    Through the dev tunnel every host<->device round trip costs ~30ms
+    nominally and SECONDS in degraded windows; a 1.18M x 25 build runs
+    ~27 levels, so the per-level fetch + staging upload made the tunnel,
+    not the device, the build's critical path (measured: 177s of `sync`
+    across 12 levels in a degraded window vs 0.3s warm for the same
+    work).  The scan body is `_level_body` verbatim (the per-level keys
+    fold the GLOBAL level index exactly like the unfused loop, so builds
+    are byte-identical — the golden tests pin this); `f_cap` is a single
+    rung that upper-bounds every level in the group: ns can at most
+    double per level and never exceeds split_lanes/(split_after+1), both
+    of which the host enforces when sizing the group, so the compact
+    nonzero frame can never truncate.
+
+    Levels past the last real split are no-ops by construction (no
+    segment splits, the permutation scatter is the identity), so a group
+    may safely overshoot the forest's final depth.
+    """
+
+    def body(carry, lvl):
+        perm, ss, sl, sp, g = carry
+        level_key = jax.random.fold_in(key, lvl)
+        (
+            new_perm, ss2, sl2, sp2, new_g,
+            left_cnt_c, none_c, normals, aux_c, att_n, n_split,
+        ) = _level_body(
+            metric, dims, split_after, rows, extras, hnorms,
+            perm, ss, sl, sp, g, data_end, level_key, f_cap=f_cap,
+        )
+        return (new_perm, ss2, sl2, sp2, new_g), (
+            left_cnt_c, none_c, normals, aux_c, att_n, n_split,
+        )
+
+    levels = level0 + jnp.arange(k, dtype=jnp.int32)
+    carry, outs = jax.lax.scan(
+        body, (perm, seg_start, seg_len, seg_split, g_live), levels
+    )
+    return carry, outs
 
 
 # ---------------------------------------------------------------------------
@@ -647,20 +712,37 @@ class BuildContext:
 
         return rows, extras, hnorms, remap, self.slot_to_id[uniq]
 
-    def stage_chunk(self, matrix, aux: np.ndarray) -> int:
-        """Append a chunk of normal rows; returns the base row index."""
+    def stage_chunk(self, matrix, aux: np.ndarray, n_valid: int | None = None) -> int:
+        """Append a chunk of normal rows; returns the base row index.
+
+        ``n_valid`` marks the logical row count when `matrix` carries
+        pow2 shape padding (the fused grow loop pads its per-group
+        staging gather so successive builds reuse compiled shapes —
+        data-dependent gather lengths compiled a fresh XLA program per
+        build, ~5s each through the relay).  Padding rows are junk and
+        sliced away by every consumer."""
+        n = int(matrix.shape[0]) if n_valid is None else int(n_valid)
         base = self.staging_rows
-        self.staging_normals.append(matrix)
+        self.staging_normals.append((matrix, n))
         self.staging_aux.append(np.asarray(aux, np.float32))
-        self.staging_rows += int(matrix.shape[0])
+        self.staging_rows += n
         return base
+
+    @staticmethod
+    def _chunk_mat_n(c):
+        return c if isinstance(c, tuple) else (c, int(c.shape[0]))
 
     def staging_matrix_np(self) -> np.ndarray:
         sd = self._sd
         np_dtype = np.uint32 if self.metric.binary else np.float32
         if not self.staging_normals:
             return np.zeros((0, sd), np_dtype)
-        return np.concatenate([np.asarray(c) for c in self.staging_normals])
+        parts = []
+        for c in self.staging_normals:
+            m, n = self._chunk_mat_n(c)
+            a = np.asarray(m)
+            parts.append(a[:n] if n != a.shape[0] else a)
+        return np.concatenate(parts)
 
     def staging_aux_np(self) -> np.ndarray:
         if not self.staging_aux:
@@ -677,11 +759,17 @@ class BuildContext:
         if not self.staging_normals:
             return jnp.zeros((1, sd), np_dtype)
         n = len(self.staging_normals)
+
+        def _dev(c):
+            m, nv = self._chunk_mat_n(c)
+            a = jnp.asarray(m)
+            return a[:nv] if nv != a.shape[0] else a
+
         if self._staging_dev is None:
-            new = [jnp.asarray(c) for c in self.staging_normals]
+            new = [_dev(c) for c in self.staging_normals]
             self._staging_dev = new[0] if n == 1 else jnp.concatenate(new)
         elif self._staging_dev_chunks < n:
-            new = [jnp.asarray(c) for c in self.staging_normals[self._staging_dev_chunks :]]
+            new = [_dev(c) for c in self.staging_normals[self._staging_dev_chunks :]]
             self._staging_dev = jnp.concatenate([self._staging_dev, *new])
         self._staging_dev_chunks = n
         return self._staging_dev
@@ -794,6 +882,15 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     g_cap = max(256, g_cap_hint, _next_pow2(len(seg_len) + 1))
     ss_d = sl_d = sp_d = g_d = None
     level = 0
+    #: levels fused per device dispatch (ARROY_GROW_FUSE=1 restores the
+    #: per-level round-trip behaviour for debugging)
+    _fuse_max = max(int(os.environ.get("ARROY_GROW_FUSE", "8")), 1)
+    #: byte budget for one group's [f_cap]-frame attempt tables — k
+    #: shrinks before the shared rung exceeds it
+    _fuse_table_bytes = int(
+        os.environ.get("ARROY_FUSE_TABLE_BYTES", 1 << 30)
+    )
+    sd_bytes = ctx._sd * 4
     while seg_split.any():
         ctx.check_cancel()
         if level >= _MAX_LEVELS:
@@ -813,21 +910,40 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             g_cap = max(g_cap, 256, _next_pow2(g + ns_next + 1))
             ss_d, sl_d, sp_d, g_d = _upload_state(g_cap)
 
-        # compact split-frontier rung (static shape): pow4 steps bound
-        # the per-level two-means tables by the ACTUAL split count the
-        # host already tracks, instead of the whole-build g_cap — ≤6
-        # compiled variants, and most levels run the small ones
-        f_rung = 256
-        while f_rung < ns_next:
-            f_rung *= 4
-        f_rung = min(f_rung, g_cap)
+        # fused-group sizing.  f_cap is ONE pow4 rung that upper-bounds the
+        # split count of EVERY level in the group (ns at most doubles per
+        # level and never exceeds split_lanes/(split_after+1) — both hard
+        # bounds, so the compact nonzero frame cannot truncate); the fuse
+        # depth k shrinks until the worst-case frontier growth fits g_cap
+        # and the [f_cap]-frame attempt tables fit the byte budget.
+        lanes_split = int(seg_len[seg_split[: len(seg_len)]].sum())
+        ns_hard = max(lanes_split // (ctx.split_after + 1), 1)
 
-        level_key = jax.random.fold_in(key, level)
+        def _rung4(n: int) -> int:
+            r = 256
+            while r < n:
+                r *= 4
+            return min(r, g_cap)
+
+        k = min(_fuse_max, max(_MAX_LEVELS - level, 1))
+        while True:
+            ns_bound = min(ns_next << (k - 1), ns_hard) if k > 1 else ns_next
+            new_bound = (
+                min((ns_next << k) - ns_next, k * ns_hard) if k > 1 else ns_next
+            )
+            r_k = _rung4(max(ns_bound, ns_next))
+            tbl_bytes = r_k * 4 * sd_bytes + k * r_k * (sd_bytes + 16)
+            if k == 1 or (
+                g + new_bound <= g_cap and tbl_bytes <= _fuse_table_bytes
+            ):
+                break
+            k -= 1
+
         _t0 = _time.perf_counter() if _timing else 0.0
         (
-            perm, ss_d, sl_d, sp_d, g_d,
-            left_cnt_d, none_d, normals_d, aux_d, att_d,
-        ) = _level_step_dev(
+            (perm, ss_d, sl_d, sp_d, g_d),
+            (lc_k, none_k, normals_k, aux_k, att_k, nsplit_k),
+        ) = _grow_group(
             ctx.metric,
             ctx.dims,
             ctx.split_after,
@@ -840,116 +956,148 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             sp_d,
             g_d,
             data_end_d,
-            level_key,
-            f_cap=f_rung,
+            key,
+            jnp.int32(level),
+            f_cap=r_k,
+            k=k,
         )
         if _timing:
             # block first so "dispatch" = dispatch+device compute and
             # "sync" isolates the device->host transfer latency
-            jax.block_until_ready(left_cnt_d)
+            jax.block_until_ready(lc_k)
             _t1 = _time.perf_counter()
             _tt["dispatch"] += _t1 - _t0
+        if _memdbg:
+            _mem_report(f"level={level} g={g} g_cap={g_cap} k={k} R={r_k}")
+        # ONE bundled compact fetch for the whole group (counts, fallback
+        # flags, biases at the [k, f_cap] frame); the d-wide normals stay
+        # on device and are staged as one device chunk per group
+        lc_h, none_h, aux_h, att_h, nsplit_h = jax.device_get(
+            (lc_k, none_k, aux_k, att_k, nsplit_k)
+        )
+        if _timing:
+            _t2 = _time.perf_counter()
+            _tt["sync"] += _t2 - _t1
+
+        # host replay: bookkeeping for each fused level from its compact
+        # row (ascending global split ids == compact order).  Ordering,
+        # allocation sequence, pending-leaf content, and staged-row order
+        # are byte-identical with the unfused formulation (the
+        # golden-build tests pin this).
+        group_base = ctx.staging_rows
+        flat_pos: list[np.ndarray] = []
+        aux_used: list[np.ndarray] = []
+        staged_off = 0
+        for i in range(k):
+            if not seg_split.any():
+                break  # surplus no-op levels past the last real split
+            g = len(seg_len)
+            split_mask = seg_split[:g]
+            split_idx = np.nonzero(split_mask)[0]
+            ns = len(split_idx)
+            if ns != int(nsplit_h[i]):
+                raise AssertionError(
+                    f"device/host frontier desync at level {level}: "
+                    f"host ns={ns} device ns={int(nsplit_h[i])}"
+                )
+            lc_arr = lc_h[i][:ns].astype(np.int64)
+            none_split = none_h[i][:ns]
+            use = ~none_split
+            used_pos = np.nonzero(use)[0]
+            row_of_split = np.full(ns, -1, np.int64)
+            row_of_split[used_pos] = (
+                group_base + staged_off + np.arange(len(used_pos))
+            )
+            staged_off += len(used_pos)
+            flat_pos.append(i * r_k + used_pos)
+            aux_used.append(aux_h[i][:ns][use])
+            if _timing:
+                _tt["attempts"] = _tt.get("attempts", 0.0) + float(att_h[i])
             if _timing_levels:
                 import sys as _sys
 
                 print(
-                    f"  level {level}: g={g} ns={ns_next} f_rung={f_rung}"
-                    f"  dispatch {_t1 - _t0:.2f}s",
+                    f"  level {level}: g={g} ns={ns} R={r_k} k={k}"
+                    + (f"  group dispatch {_t1 - _t0:.2f}s" if i == 0 else ""),
                     file=_sys.stderr,
                     flush=True,
                 )
-        if _memdbg:
-            _mem_report(f"level={level} g={g} g_cap={g_cap}")
-        # one bundled small fetch (counts, fallback flags, biases); the
-        # d-wide normals stay on device and are staged as a device chunk
-        left_cnt, none_mask, aux = jax.device_get((left_cnt_d, none_d, aux_d))
-        left_cnt, none_mask, aux = left_cnt[:g], none_mask[:g], aux[:g]
-        if _timing:
-            _t2 = _time.perf_counter()
-            _tt["sync"] += _t2 - _t1
-            _tt["attempts"] = _tt.get("attempts", 0.0) + float(
-                jax.device_get(att_d)
-            )
 
-        staged_idx = np.nonzero(seg_split[:g] & ~none_mask)[0]
-        row_of_seg = np.full(g, -1, np.int64)
-        if len(staged_idx):
-            # normals_d is in the COMPACT split frame (ascending split
-            # ids — _level_core); map the global staged ids into it
-            split_ids = np.nonzero(seg_split[:g])[0]
-            pos_c = np.searchsorted(split_ids, staged_idx)
-            base = ctx.stage_chunk(
-                jnp.take(normals_d, jnp.asarray(pos_c, dtype=jnp.int32), axis=0),
-                aux[staged_idx],
-            )
-            row_of_seg[staged_idx] = base + np.arange(len(staged_idx))
+            ids = ctx.alloc.next_many(2 * ns)  # [l0, r0, l1, r1, ...]
+            l_ids, r_ids = ids[0::2], ids[1::2]
+            s_arr = seg_start[split_idx].astype(np.int64)
+            ln_arr = seg_len[split_idx].astype(np.int64)
+            ctx.forest.put_splits(seg_node[split_idx], l_ids, r_ids, row_of_split)
+
+            ch_start = np.empty(2 * ns, np.int64)
+            ch_start[0::2] = s_arr
+            ch_start[1::2] = s_arr + lc_arr
+            ch_len = np.empty(2 * ns, np.int64)
+            ch_len[0::2] = lc_arr
+            ch_len[1::2] = ln_arr - lc_arr
+            ch_split = ch_len > ctx.split_after
+
+            counts = np.where(split_mask, 2, 1)
+            pos = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+            total_out = int(counts.sum())
+            new_start = np.empty(total_out, np.int64)
+            new_len = np.empty(total_out, np.int64)
+            new_node = np.empty(total_out, np.int64)
+            new_split = np.zeros(total_out, bool)
+            keep = ~split_mask
+            new_start[pos[keep]] = seg_start[:g][keep]
+            new_len[pos[keep]] = seg_len[:g][keep]
+            new_node[pos[keep]] = seg_node[:g][keep]
+            ppos = pos[split_idx]
+            new_start[ppos] = ch_start[0::2]
+            new_start[ppos + 1] = ch_start[1::2]
+            new_len[ppos] = ch_len[0::2]
+            new_len[ppos + 1] = ch_len[1::2]
+            new_node[ppos] = l_ids
+            new_node[ppos + 1] = r_ids
+            new_split[ppos] = ch_split[0::2]
+            new_split[ppos + 1] = ch_split[1::2]
+
+            leaf_children = np.nonzero(~ch_split)[0]
+            ch_node = ids
+            for j in leaf_children.tolist():
+                pending_leaves.append(
+                    (int(ch_node[j]), int(ch_start[j]), int(ch_start[j] + ch_len[j]))
+                )
+            indexed_now = int(ch_len[leaf_children].sum())
+
+            seg_start = new_start.astype(np.int32)
+            seg_len = new_len.astype(np.int32)
+            seg_node = new_node
+            seg_split = new_split
+            level += 1
+            if indexed_now:
+                ctx.on_items_indexed(indexed_now)
         if _timing:
             _t3 = _time.perf_counter()
-            _tt["stage"] += _t3 - _t2
+            _tt["host"] += _t3 - _t2
 
-        # vectorized frontier update (the scalar per-segment loop was
-        # host-bound at 1M+ scale: up to 65k segments x ~35 levels of
-        # Python).  Ordering, allocation sequence, and pending-leaf
-        # content are byte-identical with the scalar formulation (the
-        # golden-build tests pin this).
-        split_mask = seg_split[:g]
-        split_idx = np.nonzero(split_mask)[0]
-        ns = len(split_idx)
-        ids = ctx.alloc.next_many(2 * ns)  # [l0, r0, l1, r1, ...]
-        l_ids, r_ids = ids[0::2], ids[1::2]
-        s_arr = seg_start[split_idx].astype(np.int64)
-        ln_arr = seg_len[split_idx].astype(np.int64)
-        lc_arr = left_cnt[split_idx].astype(np.int64)
-        ctx.forest.put_splits(
-            seg_node[split_idx], l_ids, r_ids, row_of_seg[split_idx]
-        )
-
-        ch_start = np.empty(2 * ns, np.int64)
-        ch_start[0::2] = s_arr
-        ch_start[1::2] = s_arr + lc_arr
-        ch_len = np.empty(2 * ns, np.int64)
-        ch_len[0::2] = lc_arr
-        ch_len[1::2] = ln_arr - lc_arr
-        ch_split = ch_len > ctx.split_after
-
-        counts = np.where(split_mask, 2, 1)
-        pos = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-        total_out = int(counts.sum())
-        new_start = np.empty(total_out, np.int64)
-        new_len = np.empty(total_out, np.int64)
-        new_node = np.empty(total_out, np.int64)
-        new_split = np.zeros(total_out, bool)
-        keep = ~split_mask
-        new_start[pos[keep]] = seg_start[:g][keep]
-        new_len[pos[keep]] = seg_len[:g][keep]
-        new_node[pos[keep]] = seg_node[:g][keep]
-        ppos = pos[split_idx]
-        new_start[ppos] = ch_start[0::2]
-        new_start[ppos + 1] = ch_start[1::2]
-        new_len[ppos] = ch_len[0::2]
-        new_len[ppos + 1] = ch_len[1::2]
-        new_node[ppos] = l_ids
-        new_node[ppos + 1] = r_ids
-        new_split[ppos] = ch_split[0::2]
-        new_split[ppos + 1] = ch_split[1::2]
-
-        leaf_children = np.nonzero(~ch_split)[0]
-        ch_node = ids
-        for j in leaf_children.tolist():
-            pending_leaves.append(
-                (int(ch_node[j]), int(ch_start[j]), int(ch_start[j] + ch_len[j]))
+        # one lazy staging gather per group: used rows (non-fallback
+        # splits) of every fused level, in (level, split-id) order — the
+        # same staged-row order as the unfused per-level takes
+        if staged_off:
+            fp = np.concatenate(flat_pos)
+            # pow2-pad the gather so successive builds reuse compiled
+            # shapes (padding rows index 0 and are sliced off logically)
+            p_len = max(_next_pow2(len(fp)), 256)
+            fp_pad = np.zeros(p_len, np.int32)
+            fp_pad[: len(fp)] = fp
+            mat = jnp.take(
+                normals_k.reshape((k * r_k,) + normals_k.shape[2:]),
+                jnp.asarray(fp_pad),
+                axis=0,
             )
-        indexed_now = int(ch_len[leaf_children].sum())
-
-        seg_start = new_start.astype(np.int32)
-        seg_len = new_len.astype(np.int32)
-        seg_node = new_node
-        seg_split = new_split
-        level += 1
-        if indexed_now:
-            ctx.on_items_indexed(indexed_now)
+            base = ctx.stage_chunk(
+                mat, np.concatenate(aux_used), n_valid=staged_off
+            )
+            assert base == group_base
         if _timing:
-            _tt["host"] += _time.perf_counter() - _t3
+            _tt["stage"] += _time.perf_counter() - _t3
 
     # bulk leaf write-back: the pending spans tile [0, data_end) exactly
     # (every item settles in one leaf), so one gather + one lexsort

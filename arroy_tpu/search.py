@@ -1682,6 +1682,103 @@ _exact_int8 = functools.partial(
 )(_exact_int8_impl)
 
 
+def _exact_fused_impl(
+    metric, dims, k, c, int8, interp, rows, norms, extras, slot_to_id, live,
+    xq, mult, add, pos_to_slot, qv, qn, qe, qf,
+):
+    """Two-stage exact search with the fused Pallas select stage.
+
+    Stage 1 (`ops/pallas_exact.fused_block_select`) scores every item
+    and keeps the per-block top-2 without materializing [B, M]; stage 2
+    cuts the 2·nb block winners to `c` by approximate value and re-scores
+    them exactly in f32 (the oversample + exact re-score contract,
+    reference src/reader.rs:381-401)."""
+    from .ops.pallas_exact import fused_block_select
+
+    d_pad = xq.shape[1]
+    if int8:
+        qmax = jnp.max(jnp.abs(qv), axis=1)
+        qsc = jnp.where(qmax > 0, qmax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(qv / qsc[:, None]), -127, 127).astype(jnp.int8)
+    else:
+        qsc = jnp.ones(qv.shape[0], jnp.float32)
+        q = qv.astype(jnp.bfloat16)
+    if d_pad != q.shape[1]:
+        q = jnp.concatenate(
+            [q, jnp.zeros((q.shape[0], d_pad - q.shape[1]), q.dtype)], axis=1
+        )
+
+    vals, idxp = fused_block_select(q, xq, qsc, mult, add, interpret=interp)
+    cw = min(c, vals.shape[1])
+    selv, sel = jax.lax.top_k(vals, cw)
+    cand = pos_to_slot[jnp.take_along_axis(idxp, sel, axis=1)]  # [B, cw] slots
+
+    x = rows[cand]
+    xn = norms[cand]
+    xe = extras[cand]
+    d = metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
+    # -inf stage-1 values mark padding/dead positions (which alias slot 0
+    # through pos_to_slot — value-masking also prevents duplicate ids)
+    d = jnp.where(live[cand] & (selv > -_INF), d, _INF)
+    neg, top_idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    ids = slot_to_id[jnp.take_along_axis(cand, top_idx, axis=1)]
+    out_d = jnp.where(
+        out_d < _INF, metric.normalized_distance(out_d, dims), jnp.float32(jnp.nan)
+    )
+    return ids, out_d
+
+
+_exact_fused = functools.partial(
+    jax.jit, static_argnames=("metric", "dims", "k", "c", "int8", "interp")
+)(_exact_fused_impl)
+
+
+def _fused_tables(metric, rows, norms, live, int8: bool):
+    """Bind-time corpus tables for the fused select kernel.
+
+    Rows are laid out in a fixed pseudorandom position order so
+    insertion-order clustering cannot concentrate a query's true
+    neighbors into one select block (top-2 per block would shadow the
+    third); `pos_to_slot` maps kernel positions back to store slots.
+    Returns (xq [Mp, d_pad], mult [Mp], add [Mp], pos_to_slot [Mp])."""
+    from .ops.pallas_exact import DEFAULT_BM
+
+    cap, sd = rows.shape
+    mp = -(-cap // DEFAULT_BM) * DEFAULT_BM
+    rng = np.random.default_rng(0x5EEDED)
+    p2s = np.zeros(mp, np.int32)
+    p2s[:cap] = rng.permutation(cap).astype(np.int32)
+    pos_to_slot = jnp.asarray(p2s)
+    valid = jnp.arange(mp) < cap
+    rows_p = rows[pos_to_slot]  # [mp, sd] f32, transient
+    if int8:
+        mx = jnp.max(jnp.abs(rows_p), axis=1)
+        iscale = jnp.where(mx > 0, mx / 127.0, 1.0)
+        xq = jnp.clip(
+            jnp.round(rows_p / iscale[:, None]), -127, 127
+        ).astype(jnp.int8)
+    else:
+        iscale = jnp.ones(mp, jnp.float32)
+        xq = rows_p.astype(jnp.bfloat16)
+    d_pad = -(-sd // 128) * 128
+    if d_pad != sd:
+        xq = jnp.concatenate([xq, jnp.zeros((mp, d_pad - sd), xq.dtype)], axis=1)
+    name = metric.name
+    if name == "euclidean":
+        mult = 2.0 * iscale
+        base_add = -jnp.sum(rows_p * rows_p, axis=1)
+    elif name == "cosine":
+        norms_p = norms[pos_to_slot]
+        mult = iscale / jnp.where(norms_p > 0.0, norms_p, 1.0)
+        base_add = jnp.zeros(mp, jnp.float32)
+    else:  # dot-product: query extra coordinate is 0
+        mult = iscale
+        base_add = jnp.zeros(mp, jnp.float32)
+    add = jnp.where(live[pos_to_slot] & valid, base_add, -_INF)
+    return xq, mult, add, pos_to_slot
+
+
 def exact_engine_supported(metric) -> bool:
     return metric.binary or metric.name in (
         "euclidean",
@@ -1863,32 +1960,95 @@ def make_exact_fn(
         else max(min(_next_pow2(3 * k), idx.cap), 32)
     )
 
+    # fused Pallas select (ops/pallas_exact): scores every item without
+    # materializing [B, M] — no HBM score round trips AND no streaming
+    # scan needed at any HBM-resident corpus size.  Gated to corpora
+    # large enough that per-block top-2 gives ≥ c candidates; falls back
+    # permanently to the unfused two-stage on any kernel failure.
+    def _fused_ready(int8: bool) -> dict | None:
+        if os.environ.get("ARROY_EXACT_FUSED", "1") != "1":
+            return None
+        from .ops.pallas_exact import DEFAULT_BM
+
+        mp = -(-idx.cap // DEFAULT_BM) * DEFAULT_BM
+        nb2 = 2 * (mp // DEFAULT_BM)
+        xq_bytes = mp * (-(-idx.rows.shape[1] // 128) * 128) * (1 if int8 else 2)
+        if (
+            idx.cap < int(os.environ.get("ARROY_FUSED_MIN_ITEMS", 32768))
+            or nb2 < max(int(k), 32)
+            or xq_bytes > int(os.environ.get("ARROY_FUSED_TABLE_BYTES", 3 << 30))
+        ):
+            return None
+        xq, mult, add, pos_to_slot = _fused_tables(
+            metric, idx.rows, idx.norms, live, int8
+        )
+        return {
+            "ok": True,
+            "tables": (xq, mult, add, pos_to_slot),
+            "interp": jax.default_backend() == "cpu",
+        }
+
+    def _try_fused(st, int8, qv, qn, qe, qf):
+        if st is None or not st["ok"]:
+            return None
+        xq, mult, add, pos_to_slot = st["tables"]
+        try:
+            return _exact_fused(
+                metric, idx.dims, int(k), int(c), int8, st["interp"],
+                idx.rows, idx.norms, idx.extras, idx.slot_to_id, live,
+                xq, mult, add, pos_to_slot, qv, qn, qe, qf,
+            )
+        except Exception:  # Mosaic/compile failure: unfused from now on
+            st["ok"] = False
+            import warnings
+
+            warnings.warn(
+                "fused exact select kernel failed to compile; "
+                "falling back to the unfused two-stage path",
+                RuntimeWarning,
+            )
+            return None
+
     if precision == "bf16":
-        rows_bf16 = idx.rows.astype(jnp.bfloat16)  # cast once at bind time
+        fused_st = _fused_ready(int8=False)
+        lazy: dict = {}
 
         def bf16_fn(qv, qn, qe, qf):
+            out = _try_fused(fused_st, False, qv, qn, qe, qf)
+            if out is not None:
+                return out
             out = _maybe_scan(qv, qn, qe, qf, jnp.bfloat16)
             if out is not None:
                 return out
+            if "rows_bf16" not in lazy:  # cast once, on first unfused use
+                lazy["rows_bf16"] = idx.rows.astype(jnp.bfloat16)
             return _exact_bf16(
-                metric, idx.dims, int(k), int(c), idx.rows, rows_bf16,
+                metric, idx.dims, int(k), int(c), idx.rows, lazy["rows_bf16"],
                 idx.norms, idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,
             )
 
         return bf16_fn
     if precision == "int8":
-        # per-item max-abs quantization, computed once at bind time on
-        # device (reads the f32 corpus once)
-        mx = jnp.max(jnp.abs(idx.rows), axis=1)
-        iscale = jnp.where(mx > 0, mx / 127.0, 1.0)
-        rows_i8 = jnp.clip(
-            jnp.round(idx.rows / iscale[:, None]), -127, 127
-        ).astype(jnp.int8)
+        fused_st = _fused_ready(int8=True)
+        lazy = {}
 
         def int8_fn(qv, qn, qe, qf):
+            out = _try_fused(fused_st, True, qv, qn, qe, qf)
+            if out is not None:
+                return out
             out = _maybe_scan(qv, qn, qe, qf, jnp.bfloat16)
             if out is not None:
                 return out
+            if "i8" not in lazy:
+                # per-item max-abs quantization, computed once on device
+                # (reads the f32 corpus once)
+                mx = jnp.max(jnp.abs(idx.rows), axis=1)
+                iscale = jnp.where(mx > 0, mx / 127.0, 1.0)
+                rows_i8 = jnp.clip(
+                    jnp.round(idx.rows / iscale[:, None]), -127, 127
+                ).astype(jnp.int8)
+                lazy["i8"] = (rows_i8, iscale)
+            rows_i8, iscale = lazy["i8"]
             return _exact_int8(
                 metric, idx.dims, int(k), int(c), idx.rows, rows_i8, iscale,
                 idx.norms, idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,

@@ -24,7 +24,9 @@ Public surface mirrors the reference `Writer`/`ArroyBuilder`
 
 from __future__ import annotations
 
+import dataclasses
 import math
+import os
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
@@ -276,6 +278,31 @@ class Writer:
             if opt.cancel():
                 raise BuildCancelled()
 
+        # phase timing (ARROY_BUILD_TIMING): piggyback on the progress
+        # callback — each MainStep transition prints the elapsed time of
+        # the phase it closes, so tunnel-bound buckets (corpus upload,
+        # staging pull) are attributable without a profiler
+        if os.environ.get("ARROY_BUILD_TIMING", "") in ("1", "2"):
+            import sys as _sys
+            import time as _time
+
+            _user_progress = opt.progress
+            _ph = [_time.perf_counter(), "start"]
+
+            def _timed_progress(p, _up=_user_progress):
+                now = _time.perf_counter()
+                dt = now - _ph[0]
+                if dt >= 0.05:
+                    print(
+                        f"  [phase] {_ph[1]}: {dt:.2f}s",
+                        file=_sys.stderr,
+                        flush=True,
+                    )
+                _ph[0], _ph[1] = now, p.main.name
+                _up(p)
+
+            opt = dataclasses.replace(opt, progress=_timed_progress)
+
         st = self._state(wtxn)
         metric, dims = st.metric, st.dims
         split_after = opt.split_after if opt.split_after is not None else dims
@@ -485,6 +512,9 @@ class Writer:
         forest.repack_normals(ctx.staging_matrix_np(), ctx.staging_aux_np())
         st.metadata = Metadata(dims, all_items, list(roots), metric.name)
         st.version = CURRENT_VERSION
+        if os.environ.get("ARROY_BUILD_TIMING", "") in ("1", "2"):
+            # close the final timing phase (staging pull + metadata)
+            opt.progress(WriterProgress(MainStep.WRITE_THE_METADATA))
 
     # ------------------------------------------------------------------
     def _grow_with_budget(self, ctx: BuildContext, seeds, key) -> None:
