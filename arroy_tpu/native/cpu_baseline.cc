@@ -276,18 +276,170 @@ void query_one(const Forest& f, const Matrix& x, const float* q, bool cosine,
   for (int i = 0; i < k; ++i) out[i] = cand[idx[i]];
 }
 
+// ------------------------------------------------------------------ HNSW
+// Single-thread HNSW competitor arm (the role of the reference's
+// compare_with_hnsw example, which races arroy against the
+// instant-distance HNSW crate — examples/compare_with_hnsw.rs:12-15,
+// 44-49).  Textbook Malkov-Yashunin: geometric level assignment,
+// greedy descent through upper layers, ef-bounded beam at layer 0,
+// closest-M neighbor selection (no pruning heuristic — baseline-grade,
+// like the simple crates the reference raced).  The `sks` CLI values
+// are interpreted as query-time `ef`.
+struct HNSW {
+  const Matrix& x;
+  bool cosine;
+  int64_t d;
+  int M, Mmax0, efc;
+  double mult;
+  std::mt19937_64 rng;
+  // links[node][level] = neighbor ids
+  std::vector<std::vector<std::vector<int32_t>>> links;
+  std::vector<int> level;
+  int32_t ep = -1;
+  int maxlevel = -1;
+
+  HNSW(const Matrix& x_, bool cos, int m, int ef_construction)
+      : x(x_), cosine(cos), d(x_.cols), M(m), Mmax0(2 * m),
+        efc(ef_construction), mult(1.0 / std::log(double(m))),
+        rng(42) {}
+
+  float dist(const float* q, int32_t b) const {
+    const float* v = x.row(b);
+    return cosine ? -dot(q, v, d) : sqdist(q, v, d);
+  }
+
+  // ef-bounded best-first beam on one layer; returns (dist, id) sorted asc
+  void search_layer(const float* q, int32_t entry, float dentry, int lc,
+                    int ef, std::vector<std::pair<float, int32_t>>& out,
+                    std::vector<uint8_t>& seen,
+                    std::vector<int32_t>& touched) const {
+    using E = std::pair<float, int32_t>;
+    std::priority_queue<E, std::vector<E>, std::greater<E>> cand;  // min
+    std::priority_queue<E> best;                                    // max
+    cand.push({dentry, entry});
+    best.push({dentry, entry});
+    seen[entry] = 1;
+    touched.push_back(entry);
+    while (!cand.empty()) {
+      auto [dc, c] = cand.top();
+      if (dc > best.top().first && (int)best.size() >= ef) break;
+      cand.pop();
+      for (int32_t nb : links[c][lc]) {
+        if (seen[nb]) continue;
+        seen[nb] = 1;
+        touched.push_back(nb);
+        float dn = dist(q, nb);
+        if ((int)best.size() < ef || dn < best.top().first) {
+          cand.push({dn, nb});
+          best.push({dn, nb});
+          if ((int)best.size() > ef) best.pop();
+        }
+      }
+    }
+    out.resize(best.size());
+    for (size_t i = out.size(); i-- > 0;) { out[i] = best.top(); best.pop(); }
+    for (int32_t t : touched) seen[t] = 0;
+    touched.clear();
+  }
+
+  void insert(int32_t id, std::vector<uint8_t>& seen,
+              std::vector<int32_t>& touched) {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    int l = (int)(-std::log(std::max(u(rng), 1e-12)) * mult);
+    links[id].assign(l + 1, {});
+    level[id] = l;
+    if (ep < 0) { ep = id; maxlevel = l; return; }
+    const float* q = x.row(id);
+    int32_t cur = ep;
+    float dcur = dist(q, cur);
+    for (int lc = maxlevel; lc > l; --lc) {  // greedy descent
+      bool moved = true;
+      while (moved) {
+        moved = false;
+        for (int32_t nb : links[cur][lc]) {
+          float dn = dist(q, nb);
+          if (dn < dcur) { dcur = dn; cur = nb; moved = true; }
+        }
+      }
+    }
+    std::vector<std::pair<float, int32_t>> w;
+    std::vector<int32_t> sel;
+    for (int lc = std::min(l, maxlevel); lc >= 0; --lc) {
+      search_layer(q, cur, dcur, lc, efc, w, seen, touched);
+      int mmax = lc == 0 ? Mmax0 : M;
+      // SELECT-NEIGHBORS heuristic (Malkov-Yashunin alg. 4): keep a
+      // candidate only if it is closer to q than to every already-kept
+      // neighbor — spreads edges across directions instead of packing
+      // them into one cluster
+      sel.clear();
+      for (auto& [dc, cnd] : w) {
+        if ((int)sel.size() >= M) break;
+        bool ok = true;
+        const float* cv = x.row(cnd);
+        for (int32_t s : sel)
+          if (dist(cv, s) < dc) { ok = false; break; }
+        if (ok) sel.push_back(cnd);
+      }
+      for (int32_t nb : sel) {
+        links[id][lc].push_back(nb);
+        auto& back = links[nb][lc];
+        back.push_back(id);
+        if ((int)back.size() > mmax) {  // shrink: keep the closest mmax
+          const float* v = x.row(nb);
+          std::partial_sort(
+              back.begin(), back.begin() + mmax, back.end(),
+              [&](int32_t a, int32_t b2) { return dist(v, a) < dist(v, b2); });
+          back.resize(mmax);
+        }
+      }
+      cur = w[0].second;
+      dcur = w[0].first;
+    }
+    if (l > maxlevel) { maxlevel = l; ep = id; }
+  }
+
+  void query(const float* q, int ef, int count, std::vector<int32_t>& out,
+             std::vector<uint8_t>& seen, std::vector<int32_t>& touched) const {
+    out.assign(count, -1);
+    if (ep < 0) return;
+    int32_t cur = ep;
+    float dcur = dist(q, cur);
+    for (int lc = maxlevel; lc > 0; --lc) {
+      bool moved = true;
+      while (moved) {
+        moved = false;
+        for (int32_t nb : links[cur][lc]) {
+          float dn = dist(q, nb);
+          if (dn < dcur) { dcur = dn; cur = nb; moved = true; }
+        }
+      }
+    }
+    std::vector<std::pair<float, int32_t>> w;
+    search_layer(q, cur, dcur, 0, std::max(ef, count), w, seen, touched);
+    int k = std::min<int>(count, (int)w.size());
+    for (int i = 0; i < k; ++i) out[i] = w[i].second;
+  }
+};
+
 }  // namespace
 
 int main(int argc, char** argv) {
   if (argc != 9) {
     std::fprintf(stderr,
-                 "usage: %s corpus.npy queries.npy metric n_trees "
+                 "usage: %s corpus.npy queries.npy metric[:hnsw] n_trees "
                  "split_after count sk1,sk2,... out_prefix\n", argv[0]);
     return 2;
   }
   Matrix x = load_npy(argv[1]);
   Matrix q = load_npy(argv[2]);
-  bool cosine = std::string(argv[3]) == "cosine";
+  std::string metric_arg = argv[3];
+  bool hnsw_mode = false;
+  size_t colon = metric_arg.find(":hnsw");
+  if (colon != std::string::npos) {  // e.g. "euclidean:hnsw"
+    hnsw_mode = true;
+    metric_arg = metric_arg.substr(0, colon);
+  }
+  bool cosine = metric_arg == "cosine";
   int n_trees = std::atoi(argv[4]);
   int split_after = std::atoi(argv[5]);
   int count = std::atoi(argv[6]);
@@ -307,6 +459,46 @@ int main(int argc, char** argv) {
       float n = std::sqrt(dot(r, r, q.cols)) + 1e-30f;
       for (int64_t t = 0; t < q.cols; ++t) r[t] /= n;
     }
+  }
+
+  if (hnsw_mode) {
+    // n_trees arg = M (graph degree); split_after arg = ef_construction;
+    // sks = query-time ef values
+    HNSW h(x, cosine, n_trees > 0 ? n_trees : 16,
+           split_after > 0 ? split_after : 100);
+    h.links.resize(x.rows);
+    h.level.assign(x.rows, 0);
+    std::vector<uint8_t> seen(x.rows, 0);
+    std::vector<int32_t> touched;
+    auto th0 = std::chrono::steady_clock::now();
+    for (int64_t i = 0; i < x.rows; ++i) h.insert((int32_t)i, seen, touched);
+    double hb =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - th0)
+            .count();
+    std::printf("{\"phase\":\"build\",\"algo\":\"hnsw\",\"seconds\":%.2f,"
+                "\"M\":%d,\"efc\":%d}\n", hb, h.M, h.efc);
+    std::fflush(stdout);
+    std::vector<int32_t> out;
+    for (int ef : sks) {
+      std::vector<int32_t> all(size_t(q.rows) * count, -1);
+      auto t1 = std::chrono::steady_clock::now();
+      for (int64_t i = 0; i < q.rows; ++i) {
+        h.query(q.row(i), ef, count, out, seen, touched);
+        std::copy(out.begin(), out.end(), all.begin() + i * count);
+      }
+      double qs =
+          std::chrono::duration<double>(std::chrono::steady_clock::now() - t1)
+              .count();
+      std::string path = prefix + "_hnsw_" + std::to_string(ef) + ".i32";
+      FILE* fo = std::fopen(path.c_str(), "wb");
+      std::fwrite(all.data(), 4, all.size(), fo);
+      std::fclose(fo);
+      std::printf("{\"phase\":\"query\",\"algo\":\"hnsw\",\"ef\":%d,"
+                  "\"qps\":%.1f,\"out\":\"%s\"}\n", ef, q.rows / qs,
+                  path.c_str());
+      std::fflush(stdout);
+    }
+    return 0;
   }
 
   Builder b{x, cosine, split_after, std::mt19937_64(42), {}};

@@ -57,7 +57,7 @@ _NEG_INF = float("-inf")
 
 def _select_kernel(q_ref, x_ref, qsc_ref, mult_ref, add_ref,
                    v1_ref, i1_ref, v2_ref, i2_ref, *, acc_dtype, bm):
-    j = pl.program_id(0)
+    j = pl.program_id(1)  # corpus block == output row (fast grid axis)
     q = q_ref[:]  # [bb, d]
     x = x_ref[:]  # [bm, d]
     dots = jax.lax.dot_general(
@@ -71,10 +71,13 @@ def _select_kernel(q_ref, x_ref, qsc_ref, mult_ref, add_ref,
     m2 = jnp.max(s2, axis=1)
     a2 = jnp.argmax(s2, axis=1).astype(jnp.int32)
     base = j * bm
-    v1_ref[0, :] = m1
-    i1_ref[0, :] = base + a1
-    v2_ref[0, :] = m2
-    i2_ref[0, :] = base + a2
+    # the [nb, bb] output blocks stay VMEM-resident across the whole j
+    # sweep (j is the fastest grid axis and their index map ignores it);
+    # each step fills its own row
+    v1_ref[pl.ds(j, 1), :] = m1[None, :]
+    i1_ref[pl.ds(j, 1), :] = (base + a1)[None, :]
+    v2_ref[pl.ds(j, 1), :] = m2[None, :]
+    i2_ref[pl.ds(j, 1), :] = (base + a2)[None, :]
 
 
 @functools.partial(
@@ -114,21 +117,24 @@ def fused_block_select(
     kern = functools.partial(_select_kernel, acc_dtype=acc_dtype, bm=bm)
     v1, i1, v2, i2 = pl.pallas_call(
         kern,
-        # j (blocks) is the OUTER grid axis: for fixed j the corpus
-        # block stays resident in VMEM across all query blocks
-        grid=(nb, bp // bbe),
+        # i (query blocks) outer, j (corpus blocks) inner: the per-query
+        # [nb, bbe] output blocks stay VMEM-resident for the whole
+        # corpus sweep (their index maps ignore j), which is the pattern
+        # Pallas requires for revisited outputs; the corpus streams
+        # once per query block
+        grid=(bp // bbe, nb),
         in_specs=[
-            pl.BlockSpec((bbe, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bbe, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bbe, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bbe, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bbe), lambda j, i: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bbe), lambda j, i: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bbe), lambda j, i: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bbe), lambda j, i: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bbe), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bbe), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bbe), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bbe), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, bp), jnp.float32),

@@ -1,0 +1,124 @@
+"""1536-d cosine + dot-product (Bachrach) bench — BASELINE.json config #2.
+
+The dot-product metric embeds inner-product space into cosine space via
+the Bachrach extra-dimension preprocess (reference:
+src/distance/dot_product.rs:119-165); this measures it at its flagship
+dimension alongside plain cosine, across the exact / forest / probe
+engines, crossover-artifact style.
+
+Run ON TPU:  python scripts/bachrach_1536_r04.py
+Env: BM_M (corpus size, default 200k), BM_B (batch), BM_T (trees).
+Appends JSON lines to results/bachrach_1536_r04.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from arroy_tpu import Database, Reader, Writer
+
+M = int(os.environ.get("BM_M", 200_000))
+D = 1536
+T = int(os.environ.get("BM_T", 12))
+B = int(os.environ.get("BM_B", 512))
+K = 10
+ITERS = 6
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "results", "bachrach_1536_r04.jsonl")
+
+
+def corpus(rng, n, d):
+    """Clustered + lognormal norms: dot-product ranking must disagree
+    with cosine ranking for the Bachrach reduction to be exercised."""
+    parents = rng.standard_normal((64, d)).astype(np.float32)
+    pa, pb = rng.integers(64, size=n), rng.integers(64, size=n)
+    mask = rng.random((n, d)) < 0.5
+    x = np.where(mask, parents[pa], parents[pb]).astype(np.float32)
+    x += 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    x *= np.exp(0.4 * rng.standard_normal((n, 1))).astype(np.float32)
+    return x
+
+
+def emit(rec):
+    rec["ts"] = time.time()
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def run_metric(metric, x, q):
+    path = f"/tmp/bach_{metric.replace(' ', '')}_{M}x{D}_t{T}"
+    db = Database(path)
+    w = Writer(db, 0, D, metric=metric)
+    try:
+        r = Reader.open(db.read(), 0, db, metric=metric)
+        print(f"[{metric}] reloaded {path}", flush=True)
+    except Exception:
+        t0 = time.perf_counter()
+        with db.write() as txn:
+            w.add_items(txn, np.arange(M, dtype=np.uint32), x)
+            w.builder(seed=42).n_trees(T).build(txn)
+        emit({"metric": metric, "phase": "build",
+              "seconds": round(time.perf_counter() - t0, 2), "m": M, "d": D,
+              "trees": T})
+        r = Reader.open(db.read(), 0, db, metric=metric)
+
+    oracle = r.exact_by_vectors(q[:128], K)
+
+    def measure(name, s):
+        s(q)  # compile
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            s(q)
+        dt = (time.perf_counter() - t0) / ITERS
+        got = s(q[:128])
+        hits = sum(
+            len({i for i, _ in g} & {i for i, _ in o})
+            for g, o in zip(got, oracle)
+        )
+        rec = hits / (128 * K)
+        emit({"metric": metric, "arm": name, "qps": round(B / dt, 1),
+              "ms_per_batch": round(dt * 1e3, 2),
+              "recall_at_10": round(rec, 4), "batch": B, "m": M, "d": D})
+
+    measure("exact-default", r.searcher(K, engine="exact"))
+    for sk in (4000, 8000, 16000):
+        try:
+            measure(f"forest-sk{sk}",
+                    r.searcher(K, engine="forest", search_k=sk))
+        except Exception as e:
+            emit({"metric": metric, "arm": f"forest-sk{sk}",
+                  "error": f"{type(e).__name__}: {e}"})
+    for sk in (8000,):
+        try:
+            measure(f"probe-sk{sk}",
+                    r.searcher(K, engine="forest", search_k=sk,
+                               traversal="probe"))
+        except Exception as e:
+            emit({"metric": metric, "arm": f"probe-sk{sk}",
+                  "error": f"{type(e).__name__}: {e}"})
+
+
+def main():
+    print(f"devices: {jax.devices()}  M={M} D={D} T={T} B={B}", flush=True)
+    rng = np.random.default_rng(42)
+    x = corpus(rng, M, D)
+    q = corpus(np.random.default_rng(7), B, D)
+    for metric in ("dot-product", "cosine"):
+        run_metric(metric, x, q)
+
+
+if __name__ == "__main__":
+    main()
