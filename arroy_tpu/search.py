@@ -1690,10 +1690,10 @@ def _exact_fused_impl(
 
     Stage 1 (`ops/pallas_exact.fused_block_select`) scores every item
     and keeps the per-block top-2 without materializing [B, M]; stage 2
-    cuts the 2·nb block winners to `c` by approximate value and re-scores
-    them exactly in f32 (the oversample + exact re-score contract,
-    reference src/reader.rs:381-401)."""
-    from .ops.pallas_exact import fused_block_select
+    cuts the 2·nb block winners to `c` by packed-key order (monotonic
+    with score) and re-scores them exactly in f32 (the oversample +
+    exact re-score contract, reference src/reader.rs:381-401)."""
+    from .ops.pallas_exact import DEAD_KEY_MAX, fused_block_select
 
     d_pad = xq.shape[1]
     if int8:
@@ -1708,18 +1708,18 @@ def _exact_fused_impl(
             [q, jnp.zeros((q.shape[0], d_pad - q.shape[1]), q.dtype)], axis=1
         )
 
-    vals, idxp = fused_block_select(q, xq, qsc, mult, add, interpret=interp)
-    cw = min(c, vals.shape[1])
-    selv, sel = jax.lax.top_k(vals, cw)
+    keys, idxp = fused_block_select(q, xq, qsc, mult, add, interpret=interp)
+    cw = min(c, keys.shape[1])
+    selk, sel = jax.lax.top_k(keys, cw)
     cand = pos_to_slot[jnp.take_along_axis(idxp, sel, axis=1)]  # [B, cw] slots
 
     x = rows[cand]
     xn = norms[cand]
     xe = extras[cand]
     d = metric.built_distance(qv[:, None, :], qn[:, None], qe[:, None], x, xn, xe)
-    # -inf stage-1 values mark padding/dead positions (which alias slot 0
-    # through pos_to_slot — value-masking also prevents duplicate ids)
-    d = jnp.where(live[cand] & (selv > -_INF), d, _INF)
+    # keys at/below DEAD_KEY_MAX mark padding/dead positions (which alias
+    # slot 0 through pos_to_slot — key-masking also prevents duplicate ids)
+    d = jnp.where(live[cand] & (selk > DEAD_KEY_MAX), d, _INF)
     neg, top_idx = jax.lax.top_k(-d, k)
     out_d = -neg
     ids = slot_to_id[jnp.take_along_axis(cand, top_idx, axis=1)]
@@ -1742,10 +1742,12 @@ def _fused_tables(metric, rows, norms, live, int8: bool):
     neighbors into one select block (top-2 per block would shadow the
     third); `pos_to_slot` maps kernel positions back to store slots.
     Returns (xq [Mp, d_pad], mult [Mp], add [Mp], pos_to_slot [Mp])."""
-    from .ops.pallas_exact import DEFAULT_BM
+    from .ops.pallas_exact import DEFAULT_BM, DEFAULT_GP
 
     cap, sd = rows.shape
     mp = -(-cap // DEFAULT_BM) * DEFAULT_BM
+    if mp // DEFAULT_BM >= DEFAULT_GP:  # group-align (see fused_block_select)
+        mp = -(-mp // (DEFAULT_BM * DEFAULT_GP)) * (DEFAULT_BM * DEFAULT_GP)
     rng = np.random.default_rng(0x5EEDED)
     p2s = np.zeros(mp, np.int32)
     p2s[:cap] = rng.permutation(cap).astype(np.int32)

@@ -62,6 +62,29 @@ def main():
     ]
     oracle = {i: r.exact_by_vectors(qs[0][:64], 10) for i in (0,)}[0]
 
+    def timed(s, label):
+        """Device-resident timing (distinct batches per iteration — the
+        relay caches bit-identical executions; see bench.py::_measure)."""
+        import jax as _jax
+
+        dqs = [s.prepare_queries(q) for q in qs]
+        _jax.block_until_ready(s.device_fn(*dqs[0]))  # compile + warm
+        t0 = time.perf_counter()
+        outs = [s.device_fn(*dqs[i]) for i in range(ITERS)]
+        _jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / ITERS
+        got = s(qs[0][:64])
+        hits = sum(
+            len({i for i, _ in g} & {i for i, _ in o})
+            for g, o in zip(got, oracle)
+        )
+        rec = hits / (64 * 10)
+        print(
+            f"{label:<28} {dt * 1e3:8.1f} ms/batch {B / dt:9.0f} qps"
+            f"  recall@10={rec:.4f}",
+            flush=True,
+        )
+
     for sk in (2000, 8000):
         for trav in ("xla", "pallas"):
             os.environ["ARROY_TRAVERSAL"] = trav
@@ -69,21 +92,7 @@ def main():
                 s = r.searcher(
                     10, engine="forest", search_k=sk, traversal="best-first"
                 )
-                s(qs[0])  # compile
-                t0 = time.perf_counter()
-                outs = [s(q) for q in qs]
-                dt = (time.perf_counter() - t0) / ITERS
-                got = s(qs[0][:64])
-                hits = sum(
-                    len({i for i, _ in g} & {i for i, _ in o})
-                    for g, o in zip(got, oracle)
-                )
-                rec = hits / (64 * 10)
-                print(
-                    f"traversal={trav:<7} sk={sk:<6} {dt * 1e3:8.1f} ms/batch "
-                    f"{B / dt:9.0f} qps  recall@10={rec:.4f}",
-                    flush=True,
-                )
+                timed(s, f"traversal={trav} sk={sk}")
             except Exception as e:
                 print(f"traversal={trav} sk={sk} FAILED: {type(e).__name__}: {e}",
                       flush=True)
@@ -91,12 +100,7 @@ def main():
 
     for sk in (8000,):
         s = r.searcher(10, engine="forest", search_k=sk, traversal="probe")
-        s(qs[0])
-        t0 = time.perf_counter()
-        outs = [s(q) for q in qs]
-        dt = (time.perf_counter() - t0) / ITERS
-        print(f"traversal=probe   sk={sk:<6} {dt * 1e3:8.1f} ms/batch "
-              f"{B / dt:9.0f} qps", flush=True)
+        timed(s, f"traversal=probe sk={sk}")
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from arroy_tpu.ops.pallas_exact import (
+    DEAD_KEY_MAX,
     DEFAULT_BM,
     fused_block_select,
     fused_block_select_reference,
@@ -40,32 +41,43 @@ def _mk(b=8, m=4096, d=128, dtype="int8", seed=0):
 
 
 @pytest.mark.parametrize("dtype", ["int8", "bf16"])
-def test_kernel_matches_reference(dtype):
+@pytest.mark.parametrize("bm", [256, 1024])
+def test_kernel_matches_reference(dtype, bm):
     q, x, qsc, mult, add = _mk(dtype=dtype)
-    bm = 1024
-    vals, idx = fused_block_select(q, x, qsc, mult, add, bm=bm, interpret=True)
-    rvals, ridx = fused_block_select_reference(q, x, qsc, mult, add, bm=bm)
-    np.testing.assert_allclose(np.asarray(vals), np.asarray(rvals), rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    keys, idx = fused_block_select(q, x, qsc, mult, add, bm=bm, interpret=True)
+    rkeys, ridx = fused_block_select_reference(q, x, qsc, mult, add, bm=bm)
+    keys, rkeys = np.asarray(keys, np.int64), np.asarray(rkeys, np.int64)
+    # kernel and oracle are separately compiled expressions: XLA may fuse
+    # `dots*p + add` into an FMA in one and not the other, shifting the
+    # score by 1 ulp == one packed-key quantum; winners on such knife-edge
+    # ties may differ, which the stage-2 exact re-score absorbs
+    exact = keys == rkeys
+    # <= 2*bm: one quantum of value plus any lane-bit difference
+    assert np.abs(keys - rkeys).max() <= 2 * bm, "keys differ beyond 1 quantum"
+    assert exact.mean() >= 0.98
+    np.testing.assert_array_equal(
+        np.asarray(idx)[exact], np.asarray(ridx)[exact]
+    )
 
 
 def test_kernel_dead_slots_never_win():
     q, x, qsc, mult, add = _mk(m=2048)
     add = add.at[100:1100].set(-np.inf)  # kill most of block 0/1
-    vals, idx = fused_block_select(q, x, qsc, mult, add, bm=1024, interpret=True)
+    keys, idx = fused_block_select(q, x, qsc, mult, add, bm=1024, interpret=True)
     idx = np.asarray(idx)
-    vals = np.asarray(vals)
+    keys = np.asarray(keys)
     dead = (idx >= 100) & (idx < 1100)
-    assert not np.any(dead & np.isfinite(vals)), "dead slot won a block"
+    assert not np.any(dead & (keys > DEAD_KEY_MAX)), "dead slot won a block"
 
 
 def test_kernel_query_padding():
     # b=5 pads to the 8-row tile; padded queries must not leak
     q, x, qsc, mult, add = _mk(b=5, m=2048)
-    vals, idx = fused_block_select(q, x, qsc, mult, add, bm=1024, interpret=True)
-    rvals, ridx = fused_block_select_reference(q, x, qsc, mult, add, bm=1024)
-    assert vals.shape == (5, 4) and idx.shape == (5, 4)
-    np.testing.assert_allclose(np.asarray(vals), np.asarray(rvals), rtol=1e-6)
+    keys, idx = fused_block_select(q, x, qsc, mult, add, bm=1024, interpret=True)
+    rkeys, ridx = fused_block_select_reference(q, x, qsc, mult, add, bm=1024)
+    assert keys.shape == (5, 4) and idx.shape == (5, 4)
+    np.testing.assert_array_equal(np.asarray(keys), np.asarray(rkeys))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
 
 
 def _fused_searcher_env(monkeypatch):
