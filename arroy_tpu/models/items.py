@@ -211,9 +211,18 @@ class ItemStore:
             if self._dirty:
                 idx = np.fromiter(self._dirty, np.int64, len(self._dirty))
                 idx.sort()
-                rows = _staged_rows_put(self._rows, scatter_into=rows, idx=idx)
-                norms = norms.at[idx].set(self._norms[idx])
-                extras = extras.at[idx].set(self._extras[idx])
+                if len(idx) * 4 >= cap:
+                    # mostly-dirty mirror: the full staged upload beats a
+                    # scatter of the same rows (measured 9.5s vs 26.5s for
+                    # 100% dirty at 100k x 768 — scatter pays the gather +
+                    # per-chunk scatter compile on top of the same bytes)
+                    rows = _staged_rows_put(self._rows)
+                    norms = jnp.asarray(self._norms)
+                    extras = jnp.asarray(self._extras)
+                else:
+                    rows = _staged_rows_put(self._rows, scatter_into=rows, idx=idx)
+                    norms = norms.at[idx].set(self._norms[idx])
+                    extras = extras.at[idx].set(self._extras[idx])
         if self._epoch == 0:
             self._epoch = next(_EPOCHS)
         self._sync_epoch = self._epoch
@@ -297,10 +306,23 @@ class ItemStore:
                 self._id_to_slot[item] = slot
                 self._slot_ids[slot] = item
             slots[j] = slot
+        # content-aware dirty marking: only slots whose stored bytes
+        # actually change invalidate the device mirror, so idempotent
+        # re-upserts (a common ingestion pattern — and the warm-rebuild
+        # benchmark) don't re-pay the host->device transfer of the whole
+        # matrix.  Duplicate ids resolve last-wins, matching fancy-assign.
+        uniq, pos = np.unique(slots[::-1], return_index=True)
+        pos = len(slots) - 1 - pos
+        changed = (
+            np.any(self._rows[uniq] != rows[pos], axis=1)
+            | (self._norms[uniq] != norms[pos])
+            | (self._extras[uniq] != 0.0)
+        )
         self._rows[slots] = rows
         self._norms[slots] = norms
         self._extras[slots] = 0.0
-        self._touch(slots.tolist())
+        if np.any(changed):
+            self._touch(uniq[changed].tolist())
 
     def delete(self, item: int) -> bool:
         slot = self._id_to_slot.pop(int(item), None)

@@ -75,15 +75,19 @@ def run_metric(metric, x, q):
               "trees": T})
         r = Reader.open(db.read(), 0, db, metric=metric)
 
-    oracle = r.exact_by_vectors(q[:128], K)
+    oracle = r.exact_by_vectors(q[0][:128], K)
 
     def measure(name, s):
-        s(q)  # compile
+        """Device-resident timing, distinct batches per iteration (the
+        relay caches bit-identical executions; tunnel round-trips stay
+        outside the clock — see bench.py::_measure)."""
+        dqs = [s.prepare_queries(qi) for qi in q]
+        jax.block_until_ready(s.device_fn(*dqs[0]))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            s(q)
+        outs = [s.device_fn(*dqs[i]) for i in range(ITERS)]
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / ITERS
-        got = s(q[:128])
+        got = s(q[0][:128])
         hits = sum(
             len({i for i, _ in g} & {i for i, _ in o})
             for g, o in zip(got, oracle)
@@ -115,7 +119,7 @@ def main():
     print(f"devices: {jax.devices()}  M={M} D={D} T={T} B={B}", flush=True)
     rng = np.random.default_rng(42)
     x = corpus(rng, M, D)
-    q = corpus(np.random.default_rng(7), B, D)
+    q = [corpus(np.random.default_rng(7 + i), B, D) for i in range(ITERS)]
     for metric in ("dot-product", "cosine"):
         run_metric(metric, x, q)
 

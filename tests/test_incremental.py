@@ -277,3 +277,65 @@ def test_device_mirror_incremental_sync():
     # and the original, never mutated since its sync, still matches
     rs, _, _ = s.device_arrays()
     np.testing.assert_array_equal(np.asarray(rs), s.rows())
+
+
+def test_device_mirror_idempotent_readd_is_free():
+    """Re-upserting identical vectors must not dirty the device mirror
+    (idempotent ingestion — and the warm-rebuild benchmark — must not
+    re-pay the full host->device transfer), while any changed row, norm
+    or preprocessed extra must."""
+    from arroy_tpu.metrics import resolve_metric
+    from arroy_tpu.models.items import ItemStore
+
+    met = resolve_metric("euclidean")
+    s = ItemStore(met, 4)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((50, 4)).astype(np.float32)
+    s.put_many(np.arange(50), x)
+    s.device_arrays()
+    assert not s._dirty
+
+    # bytewise-identical re-add: nothing dirties, the epoch holds
+    ep = s._epoch
+    s.put_many(np.arange(50), x.copy())
+    assert not s._dirty and s._epoch == ep
+
+    # one changed row (and duplicate ids resolving last-wins to the OLD
+    # value) dirty exactly the changed slot
+    items = np.array([3, 3], np.uint32)
+    vecs = np.stack([x[3] + 1.0, x[3]])
+    s.put_many(items, vecs)  # last wins == old content -> clean
+    assert not s._dirty
+    s.put_many(np.array([5]), x[5:6] + 1.0)
+    assert s._dirty == {int(s.slots_of(np.array([5]))[0])}
+    r, n, e = s.device_arrays()
+    np.testing.assert_array_equal(np.asarray(r), s.rows())
+    np.testing.assert_array_equal(np.asarray(n), s.norms())
+
+    # preprocessed extras reset to 0 by a re-add counts as a change
+    sl = s.slots_of(np.arange(50))
+    s.set_preprocess(s.norms()[sl], np.ones(50, np.float32), sl)
+    s.device_arrays()
+    s.put_many(np.arange(50), x)
+    assert len(s._dirty) == 50
+    _, _, e2 = s.device_arrays()
+    np.testing.assert_array_equal(np.asarray(e2), s.extras())
+
+
+def test_device_mirror_mostly_dirty_full_upload():
+    """A mostly-dirty mirror takes the full-upload path; the result must
+    still be bit-identical to the host arrays."""
+    from arroy_tpu.metrics import resolve_metric
+    from arroy_tpu.models.items import ItemStore
+
+    met = resolve_metric("euclidean")
+    s = ItemStore(met, 4)
+    rng = np.random.default_rng(9)
+    s.put_many(np.arange(64), rng.standard_normal((64, 4)).astype(np.float32))
+    s.device_arrays()
+    s.put_many(np.arange(40), rng.standard_normal((40, 4)).astype(np.float32))
+    assert len(s._dirty) * 4 >= s.rows().shape[0]  # takes the full path
+    r, n, e = s.device_arrays()
+    np.testing.assert_array_equal(np.asarray(r), s.rows())
+    np.testing.assert_array_equal(np.asarray(n), s.norms())
+    np.testing.assert_array_equal(np.asarray(e), s.extras())
