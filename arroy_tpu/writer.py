@@ -653,7 +653,12 @@ class Writer:
             if not expanded:
                 if forest.kind[nid] == KIND_LEAF:
                     old = forest.leaves[nid]
-                    new = ItemSet.from_sorted(old).difference(to_delete).ids
+                    # searchsorted membership, NOT ItemSet.difference —
+                    # difference() re-sorts to_delete per call, making a
+                    # mass delete O(M x leaves) (measured: minutes at
+                    # 1.18M x 25 trees); old is sorted so the masked
+                    # select stays sorted-unique
+                    new = old[~to_delete.contains_many(old)]
                     if len(new) != len(old):
                         forest.put_leaf(nid, new)
                     results[nid] = (nid, new)

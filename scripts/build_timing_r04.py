@@ -44,23 +44,56 @@ def main():
     rng = np.random.default_rng(42)
     x = make_corpus(rng, M, D)
     path = os.environ.get("TIM_DB", "/tmp/arroy_r04_timing")
-    shutil.rmtree(path, ignore_errors=True)
-    db = Database(path)
+    reuse = os.environ.get("TIM_REUSE", "0") == "1"
+    have = False
+    if reuse:
+        try:
+            db = Database(path)
+            st = db.read().state(0)
+            have = (
+                st is not None
+                and st.metadata is not None
+                and st.metadata.dimensions == D
+                and len(st.metadata.items) == M
+            )
+        except Exception:
+            have = False
+    if not have:
+        shutil.rmtree(path, ignore_errors=True)
+        db = Database(path)
     w = Writer(db, 0, D, metric="euclidean")
-    with db.write() as wtxn:
-        t0 = time.perf_counter()
-        w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
-        t1 = time.perf_counter()
-        w.builder(seed=42).n_trees(T).build(wtxn)
-        t2 = time.perf_counter()
-    print(f"add_items: {t1 - t0:.2f}s  build: {t2 - t1:.2f}s", flush=True)
+    if have:
+        print(f"reusing persisted index at {path} (cold build skipped)",
+              flush=True)
+    else:
+        with db.write() as wtxn:
+            t0 = time.perf_counter()
+            w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
+            t1 = time.perf_counter()
+            w.builder(seed=42).n_trees(T).build(wtxn)
+            t2 = time.perf_counter()
+        print(f"add_items: {t1 - t0:.2f}s  build: {t2 - t1:.2f}s", flush=True)
     n_runs = int(os.environ.get("TIM_RUNS", 2))
+    # TIM_CLEAR=1: measure clear+add+build (a pure fresh rebuild — the
+    # figure comparable to the CPU baseline's from-scratch build, and to
+    # r03's glove_build warm numbers).  Default: re-add over the live
+    # index, which ALSO pays the delete-collapse + re-insert routing.
+    clear = os.environ.get("TIM_CLEAR", "0") == "1"
     for i in range(1, n_runs):
         with db.write() as wtxn:
-            w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
-            t0 = time.perf_counter()
+            if clear:
+                w.clear(wtxn)
+                w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
+                t0 = time.perf_counter()
+            else:
+                w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
+                t0 = time.perf_counter()
             w.builder(seed=42 + i).n_trees(T).build(wtxn)
-            print(f"warm build {i}: {time.perf_counter() - t0:.2f}s", flush=True)
+            print(
+                f"warm build {i}{' (clear)' if clear else ''}: "
+                f"{time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
