@@ -271,13 +271,17 @@ def main():
     # the remote-compile relay (1-15 min of queue, see CLAUDE.md).
     warm_build_s = 0.0
     if not cpu_fallback:
-        w = Writer(db, 0, D, metric="euclidean")
-        with db.write() as wtxn:
-            w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
-            t0 = time.perf_counter()
-            w.builder(seed=43).n_trees(N_TREES).build(wtxn)
-            warm_build_s = time.perf_counter() - t0
-        log(f"warm rebuild: {warm_build_s:.2f}s")
+        try:
+            w = Writer(db, 0, D, metric="euclidean")
+            with db.write() as wtxn:
+                w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
+                t0 = time.perf_counter()
+                w.builder(seed=43).n_trees(N_TREES).build(wtxn)
+                warm_build_s = time.perf_counter() - t0
+            log(f"warm rebuild: {warm_build_s:.2f}s")
+        except Exception as e:  # keep the serving arms alive regardless
+            log(f"warm rebuild unavailable ({type(e).__name__}: {e})")
+            warm_build_s = 0.0
 
     r = Reader.open(db.read(), 0, db)
 
