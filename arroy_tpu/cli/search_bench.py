@@ -26,7 +26,7 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=1000, help="max items to query")
     ap.add_argument(
         "--traversal",
-        choices=("auto", "xla", "pallas"),
+        choices=("auto", "xla", "probe"),
         default="auto",
         help="traversal engine (see search.traversal_mode)",
     )

@@ -858,18 +858,19 @@ _PROBE_MIN_ITEMS = 262_144
 
 
 def traversal_mode(idx: DeviceIndex, has_filter: bool, pmax: int, search_k: int, want: str = "auto") -> str:
-    """Resolve the traversal engine: the XLA while-loop or the Pallas
-    VMEM-resident kernel (ops/pallas_traverse.py).
+    """Resolve the traversal engine: the XLA while-loop pop walk or the
+    leaf-probe engine (probe.py).
 
-    ``auto`` currently means XLA (the Pallas kernel is opt-in until its
-    on-chip numbers are in); ``ARROY_TRAVERSAL=pallas|xla`` resolves
-    ``auto`` only — an explicit argument always wins (so A/B reference
-    arms can't be flipped by a leaked env var).  Filtered searches and
-    indexes too big for VMEM always use XLA.
+    ``ARROY_TRAVERSAL=probe|xla`` resolves ``auto`` only — an explicit
+    argument always wins (so A/B reference arms can't be flipped by a
+    leaked env var).  Filtered searches and unsupported metrics always
+    use XLA.  (A VMEM-resident Pallas pop-loop kernel existed through
+    round 3, opt-in and never serving; the probe engine is the answer
+    to the serial pop loop on TPU, so the kernel was removed rather
+    than measured — see results/probe_sweep_r03.log for the policy
+    evidence.)
     """
     import os
-
-    from .ops.pallas_traverse import fits
 
     want = (want or "auto").lower()
     if want == "auto":
@@ -889,15 +890,7 @@ def traversal_mode(idx: DeviceIndex, has_filter: bool, pmax: int, search_k: int,
         # metrics stay on the classic paths
         if not has_filter and _probe.supports(idx.metric):
             return "probe"
-        return "xla"
-    if want != "pallas" or has_filter:
-        return "xla"
-    t = max(len(idx.roots), 1)
-    q_cap = t + pmax
-    l_cap = min(search_k, pmax) + 1
-    if not fits(int(idx.node_table.shape[0]), int(idx.normals.shape[0]), q_cap, l_cap):
-        return "xla"
-    return "pallas"
+    return "xla"
 
 
 def make_search_fn(
@@ -1020,15 +1013,6 @@ def make_search_fn(
                 idx, state, count, sk_exact,
                 n_trees=probe_trees, block=probe_block, dtype=probe_dtype,
             )
-    if trav == "pallas":
-        P = 1
-    if trav == "pallas":
-        from .ops.pallas_traverse import make_init_node
-
-        # uploaded once at bind time, never per call (tunnel transfers
-        # cost ~30 ms each)
-        init_node = jnp.asarray(make_init_node(np.asarray(idx.roots, np.int32), pmax))
-
     rescore_scan_state: dict = {}
 
     def _rescore_scan_operands(chunk):
@@ -1070,7 +1054,7 @@ def make_search_fn(
         mean_leaf = float(max(idx.max_leaf, 1))
     exp_leaf_pops = int(np.ceil(sk_exact / max(mean_leaf, 1.0)))
     pmax_small = min(pmax, _SMALL_POPS_MULT * exp_leaf_pops + _SMALL_POPS_PAD)
-    two_tier = (not has_filter) and trav != "pallas" and pmax_small < pmax // 2
+    two_tier = (not has_filter) and pmax_small < pmax // 2
     if not two_tier:
         # single-tier runs at the full queue width, where the multipop
         # [q_cap, P] update matrices would dominate memory (they fault
@@ -1161,26 +1145,6 @@ def make_search_fn(
     dummy_aux = jnp.zeros(1, jnp.float32)
 
     def fn(qv, qn, qe, qf):
-        if trav == "pallas":
-            from .ops.pallas_traverse import traverse_pallas
-
-            cand, _, _ = traverse_pallas(
-                idx.metric,
-                int(sk),
-                int(pmax),
-                int(idx.max_leaf),
-                idx.node_table,
-                idx.normals,
-                idx.aux,
-                idx.leaf_off,
-                idx.leaf_cnt,
-                idx.leaf_items,
-                init_node,
-                qv,
-                qf,
-                sk_dyn,
-            )
-            return _do_rescore(cand, qv, qn, qe)
         if two_tier:
             b = int(qv.shape[0])
             rmode = rescore_mode(idx.metric, b, cap_c, idx.n_items, rescore)
