@@ -147,7 +147,7 @@ def _measure_chain(searcher, dqs, iters, batch):
     import jax
     import jax.numpy as jnp
 
-    if iters < 4:
+    if iters < 4 or _measure_chain._dead:
         return None
     try:
         stacked = tuple(
@@ -180,7 +180,14 @@ def _measure_chain(searcher, dqs, iters, batch):
         return batch / dt
     except Exception as e:  # never let the protocol sink the bench
         log(f"chain measure unavailable ({type(e).__name__}: {e})")
+        # sticky: the failure mode (e.g. the remote-compile relay's
+        # request-size limit on the scan's baked-in corpus constants)
+        # repeats identically per arm — don't pay a doomed compile each
+        _measure_chain._dead = True
         return None
+
+
+_measure_chain._dead = False
 
 
 def _recall(out, exact_sets, nq, count):
@@ -273,15 +280,19 @@ def main():
     if not cpu_fallback:
         try:
             w = Writer(db, 0, D, metric="euclidean")
-            with db.write() as wtxn:
-                w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
-                t0 = time.perf_counter()
-                w.builder(seed=43).n_trees(N_TREES).build(wtxn)
-                warm_build_s = time.perf_counter() - t0
-            log(f"warm rebuild: {warm_build_s:.2f}s")
+            # two rebuilds when the index was reused: in a fresh process
+            # the first one still pays the device-mirror upload + the
+            # build-step compiles; the second is the true steady state
+            for j in range(2 if have else 1):
+                with db.write() as wtxn:
+                    w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
+                    t0 = time.perf_counter()
+                    w.builder(seed=43 + j).n_trees(N_TREES).build(wtxn)
+                    dt = time.perf_counter() - t0
+                warm_build_s = dt if warm_build_s == 0 else min(warm_build_s, dt)
+                log(f"warm rebuild: {dt:.2f}s")
         except Exception as e:  # keep the serving arms alive regardless
             log(f"warm rebuild unavailable ({type(e).__name__}: {e})")
-            warm_build_s = 0.0
 
     r = Reader.open(db.read(), 0, db)
 
