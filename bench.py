@@ -155,9 +155,17 @@ def _measure_chain(searcher, dqs, iters, batch):
             for j in range(len(dqs[0]))
         )
 
-        def chain(*st):
+        # closure_convert lifts the searcher's captured corpus tables
+        # out of the trace and into explicit call arguments — baked-in
+        # constants blow the remote-compile relay's request-size limit
+        # (HTTP 413 on the multi-hundred-MB HLO proto)
+        closed, consts = jax.closure_convert(
+            lambda *xs: searcher.device_fn(*xs), *dqs[0]
+        )
+
+        def chain(consts, *st):
             def body(c, xs):
-                out = searcher.device_fn(xs[0] + 0.0 * c, *xs[1:])
+                out = closed(xs[0] + 0.0 * c, *xs[1:], *consts)
                 # ids (uint32) — dists may be NaN, which would poison c
                 return c + jnp.sum(out[0][:1, :1]).astype(jnp.float32), ()
 
@@ -168,11 +176,11 @@ def _measure_chain(searcher, dqs, iters, batch):
         ts = {}
         for n in (2, iters):
             st = tuple(s[:n] for s in stacked)
-            jc(*st).block_until_ready()  # compile + warm
+            jc(consts, *st).block_until_ready()  # compile + warm
             st = (st[0] + jnp.float32(1e-5),) + st[1:]  # defeat relay cache
             jax.block_until_ready(st)
             t0 = time.perf_counter()
-            float(jc(*st))
+            float(jc(consts, *st))
             ts[n] = time.perf_counter() - t0
         dt = (ts[iters] - ts[2]) / (iters - 2)
         if dt <= 0:
