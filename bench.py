@@ -355,8 +355,9 @@ def main():
                 s.prepare_queries(queries[i * BATCH : i * BATCH + fb])
                 for i in range(ITERS)
             ]
-            qps_d, compile_s, out = _measure(s, dqs, ITERS, fb)
-            qps = max(qps_d, _measure_chain(s, dqs, ITERS, fb) or 0.0)
+            # no chain arm here: the tunnel tax is negligible at forest
+            # batch times and the while-loop scan compile is expensive
+            qps, compile_s, out = _measure(s, dqs, ITERS, fb)
             rec = _recall(out, exact_sets, min(fb, nq), COUNT)
             log(f"forest[sk={search_k}]: {qps:.0f} qps  recall@{COUNT}={rec:.4f}")
             sub["forest_qps"] = round(qps, 1)
@@ -386,8 +387,7 @@ def main():
                 s.prepare_queries(queries[i * BATCH : i * BATCH + fb])
                 for i in range(ITERS)
             ]
-            qps_d, compile_s, out = _measure(s, dqs, ITERS, fb)
-            qps = max(qps_d, _measure_chain(s, dqs, ITERS, fb) or 0.0)
+            qps, compile_s, out = _measure(s, dqs, ITERS, fb)
             rec = _recall(out, exact_sets, min(fb, nq), COUNT)
             log(f"probe[sk={search_k}]: {qps:.0f} qps  recall@{COUNT}={rec:.4f}")
             sub["probe_qps"] = round(qps, 1)
