@@ -723,6 +723,15 @@ class BuildContext:
         sliced away by every consumer."""
         n = int(matrix.shape[0]) if n_valid is None else int(n_valid)
         base = self.staging_rows
+        if hasattr(matrix, "copy_to_host_async"):
+            # start the device->host copy now so the end-of-build
+            # repack_normals pull (staging_matrix_np) overlaps with the
+            # remaining grow dispatches instead of serializing after
+            # them (~178MB at 1.18M x 100 through the tunnel)
+            try:
+                matrix.copy_to_host_async()
+            except Exception:
+                pass
         self.staging_normals.append((matrix, n))
         self.staging_aux.append(np.asarray(aux, np.float32))
         self.staging_rows += n
