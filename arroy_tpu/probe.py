@@ -45,7 +45,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.forest import KIND_LEAF, KIND_SPLIT, KIND_SPLIT_NONE
-from .ops.binary import WORD_BITS, n_words, pack_bits_jnp, pack_bits_np
+from .ops.binary import (
+    WORD_BITS,
+    n_words,
+    pack_bits_jnp,
+    pack_bits_np,
+    unpack_bits_jnp,
+    unpack_bits_np,
+)
 
 _INF = jnp.float32(jnp.inf)
 _EPS = jnp.float32(1e-30)
@@ -137,7 +144,11 @@ class ProbeTables:
 
 
 def supports(metric) -> bool:
-    return not metric.binary
+    """Every built-in metric is probe-servable: f32 metrics through
+    bf16/int8/bq block tables, binary-quantized metrics through native
+    packed-word blocks scored by XOR-popcount (ranking-EXACT for all
+    three BQ metrics, so the re-score cut needs no oversampling)."""
+    return True
 
 
 def _tree_leaves(forest, root: int) -> list[np.ndarray]:
@@ -214,6 +225,54 @@ def build_tables_np(
     # gather block rows + centroids, chunked over blocks (the full
     # [T*nb, P, d] f32 intermediate is ~32 GB at 1M x 768 x 8 trees)
     NBT = T * nb_max
+    if metric.binary:
+        # binary-quantized metrics: storage is ALREADY packed sign-bit
+        # words, so the block table is a direct slice of the item rows
+        # (no extra quantization).  Centroids live in the ±1 decode
+        # space; in-block XOR-popcount scores are ranking-exact for all
+        # three BQ metrics (reference distance formulas are affine in
+        # the hamming count — src/distance/binary_quantized_*.rs).
+        w = rows.shape[1]
+        d_pad = w * WORD_BITS
+        brows_out = np.zeros((NBT, P, w), np.uint32)
+        baux_all = np.zeros((NBT, P), np.float32)
+        cent_all = np.zeros((NBT, d_pad), np.float32)
+        caux_all = np.zeros(NBT, np.float32)
+        scale_all = np.zeros((1, 1), np.float32)
+        chunk = max(1, (512 << 20) // max(P * d_pad * 4, 1))
+        cosine = name == "binary quantized cosine"
+        for lo in range(0, NBT, chunk):
+            hi = min(lo + chunk, NBT)
+            sl = slots_all[lo:hi]
+            safe = np.maximum(sl, 0)
+            live = sl >= 0
+            br = rows[safe.reshape(-1)].reshape(hi - lo, P, w)
+            br[~live] = 0
+            dec = unpack_bits_np(br, d_pad).astype(np.float32)  # ±1
+            dec[~live] = 0.0
+            cnt = np.maximum(live.sum(axis=1), 1).astype(np.float32)
+            c = dec.sum(axis=1) / cnt[:, None]
+            if cosine:
+                cn = np.linalg.norm(c, axis=1)
+                cent_all[lo:hi] = c / np.maximum(cn, 1e-30)[:, None]
+            else:
+                cent_all[lo:hi] = c
+                caux_all[lo:hi] = np.einsum("nd,nd->n", c, c)
+            brows_out[lo:hi] = br
+        n_real = int((slots_all >= 0).sum())
+        return {
+            "n_trees": T,
+            "block": P,
+            "nb_max": nb_max,
+            "fill": max(n_real / float(slots_all.size), 1e-6),
+            "cent": cent_all,
+            "caux": caux_all,
+            "valid": valid_all,
+            "blk_rows": brows_out,
+            "blk_aux": baux_all,
+            "blk_slots": slots_all,
+            "blk_scale": scale_all,
+        }
     if dtype == "bq":
         # packed sign-bit rows: 16x smaller than bf16 at 768-d.  the
         # in-block score estimates dots from sign agreement scaled by
@@ -337,15 +396,24 @@ def _probe_core(
     rows, norms, extras, slot_to_id,
     qv, qn, qe,
     normalize=True,
+    fwords=None,
+    has_filter=False,
 ):
     name = metric.name
     b = qv.shape[0]
     T = cent.shape[0] // nb_max
     P = blk_rows.shape[1]
 
-    # 1. rank all blocks of each probe tree with one matmul
+    # 1. rank all blocks of each probe tree with one matmul.  Binary
+    # metrics store packed queries; the centroid table lives in the ±1
+    # decode space, so decode the query once here.
+    qcent = (
+        unpack_bits_jnp(qv, cent.shape[1]).astype(jnp.float32)
+        if metric.binary
+        else qv
+    )
     dots = jax.lax.dot_general(
-        qv, cent, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qcent, cent, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [B, T*nb_max]
     score = jnp.float32(scale) * dots - caux[None, :]
     score = jnp.where(valid[None, :], score, -_INF)
@@ -362,7 +430,11 @@ def _probe_core(
     bid = (topL + base).reshape(b, T * L)  # [B, C]
 
     # 2. fetch the selected blocks (contiguous DMA slices) and score
-    if blk_rows.dtype == jnp.uint32:
+    if metric.binary:
+        qbits = qv  # already packed sign-bit words
+        qnorm = None
+        qbf = None
+    elif blk_rows.dtype == jnp.uint32:
         qbits = pack_bits_jnp(qv)  # [B, w]
         qnorm = jnp.sqrt(
             jnp.maximum(
@@ -383,7 +455,19 @@ def _probe_core(
         blocks = blk_rows[safe]  # [B, c, P, sd] (or [B, c, P, w] packed)
         baux = blk_aux[safe]  # [B, c, P]
         bslot = jnp.where((bidc >= 0)[..., None], blk_slots[safe], -1)
-        if blk_rows.dtype == jnp.uint32:
+        if metric.binary:
+            # native packed blocks: XOR popcount IS the distance basis —
+            # all three BQ distances are affine in the hamming count
+            # with per-query-constant coefficients, so ranking by -ham
+            # is EXACT (reference: src/distance/binary_quantized_*.rs)
+            ham = jnp.sum(
+                jax.lax.population_count(
+                    jnp.bitwise_xor(blocks, qbits[:, None, None, :])
+                ).astype(jnp.int32),
+                axis=-1,
+            )
+            s2 = -ham.astype(jnp.float32)
+        elif blk_rows.dtype == jnp.uint32:
             # packed sign-bit blocks: estimate the dot from sign
             # agreement (reference's XNOR-popcount ±1 dot,
             # src/spaces/simple.rs:119-131) scaled by the stored norms:
@@ -424,7 +508,15 @@ def _probe_core(
                 s2 = d2 / jnp.maximum(baux, _EPS)
             else:
                 s2 = d2
-        return jnp.where(bslot >= 0, s2, -_INF), bslot
+        keep = bslot >= 0
+        if has_filter:
+            # roaring-∩ role at the blocks (reference: src/reader.rs:
+            # 354-360): mask non-candidate slots out of the in-block
+            # scores so they never consume k2 re-score lanes
+            sfs = jnp.maximum(bslot, 0)
+            bit = (fwords[sfs >> 5] >> (sfs & 31).astype(jnp.uint32)) & 1
+            keep = keep & (bit == 1)
+        return jnp.where(keep, s2, -_INF), jnp.where(keep, bslot, -1)
 
     # the gathered temp is ~[B, c, P, sd] rows PLUS XLA's f32 upcast of
     # a bf16 operand: unchunked at high search_k it exceeds HBM
@@ -495,7 +587,9 @@ def _probe_core(
 
     def exact_chunk(slots_c, live_c):
         cs = jnp.maximum(slots_c, 0)
-        x = rows[cs].astype(jnp.float32)
+        x = rows[cs]  # packed words stay packed for binary metrics
+        if not metric.binary:
+            x = x.astype(jnp.float32)
         xn = norms[cs]
         xe = extras[cs]
         d = metric.built_distance(
@@ -549,7 +643,10 @@ def _probe_core(
 
 _probe_impl = functools.partial(
     jax.jit,
-    static_argnames=("metric", "dims", "k", "k2", "L", "nb_max", "scale", "normalize"),
+    static_argnames=(
+        "metric", "dims", "k", "k2", "L", "nb_max", "scale", "normalize",
+        "has_filter",
+    ),
 )(_probe_core)
 
 
@@ -561,18 +658,23 @@ def make_probe_fn(
     n_trees: int | str = "auto",
     block: int | str = "auto",
     dtype: str = "auto",
+    filter_slots: np.ndarray | None = None,
 ):
     """Bind a leaf-probe serving fn: ``fn(qv, qn, qe, qf) -> (ids, dists)``.
 
     ``search_k`` keeps arroy's candidate-budget semantics: the probe
     touches ``T·L·P ≈ search_k`` item slots (L = per-tree probed
-    blocks).  Filters are not handled here — `make_search_fn` serves
-    filtered searches through the reference-semantic traversal loop
-    (and `Searcher(engine="auto")` routes them to the masked exact
-    engine one layer up).
+    blocks).  ``filter_slots`` serves the roaring-∩ contract: gathered
+    block slots are masked against the candidate bitmap before they can
+    reach the re-score (reference: src/reader.rs:354-360), and the
+    probed-block budget scales with 1/selectivity — mirroring the
+    reference's traversal exploring more leaves until `search_k`
+    MATCHING candidates are gathered.  Binary-quantized metrics serve
+    natively: packed-word block tables scored by XOR popcount, which is
+    ranking-exact for all three BQ distances.
     """
-    if not supports(idx.metric):
-        raise ValueError("probe engine: binary-quantized metrics unsupported")
+    if idx.metric.binary:
+        dtype = "bq"  # native packed words — the only storage there is
     if dtype == "auto":
         dtype = os.environ.get("ARROY_PROBE_DTYPE", "auto")
     if dtype == "auto":
@@ -585,25 +687,49 @@ def make_probe_fn(
     tabs = get_tables(idx, state, T, P, dtype)
     nb_max = tabs.nb_max
     # search_k counts REAL candidate slots (arroy's budget semantics):
-    # scale the probed-block count by the leaf-padding fill
-    eff = max(int(T * P * tabs.fill), 1)
+    # scale the probed-block count by the leaf-padding fill — and by
+    # 1/selectivity when filtered, since only matching slots count
+    # toward the budget
+    has_filter = filter_slots is not None
+    sel = 1.0
+    if has_filter:
+        sel = max(len(filter_slots) / max(idx.n_items, 1), 1e-6)
+        nwords = max((idx.cap + 31) // 32, 1)
+        words = np.zeros(nwords, np.uint32)
+        fs = np.asarray(filter_slots, dtype=np.int64)
+        np.bitwise_or.at(
+            words, fs >> 5, np.uint32(1) << (fs & 31).astype(np.uint32)
+        )
+        fwords = jnp.asarray(words)
+    else:
+        fwords = jnp.zeros(1, jnp.uint32)
+    eff = max(int(T * P * tabs.fill * sel), 1)
     L = max(1, min(-(-int(search_k) // eff), nb_max))
     k = max(1, int(count))
     # generous exact-rescore cut: the [B, k2] final gather is cheap and
     # washes out bf16 selection noise + cross-tree duplicates occupying
-    # k2 slots (dup rate ~20-30% at T=4..8).  sign-bit blocks score
-    # with real error at high d, so their cut tracks HALF the candidate
-    # budget (a fixed cut made recall DECREASE with search_k at 1M x
-    # 768: the sign-score top-2048 converges to a fixed set while the
-    # pool grows — crossover_r03) with the reference's 3x BQ
-    # oversampling constant as the floor
-    # (reference: src/distance/binary_quantized_cosine.rs:36)
-    over = 3 if dtype == "bq" else 1
+    # k2 slots (dup rate ~20-30% at T=4..8).  sign-bit blocks for f32
+    # metrics score with real error at high d, so their cut tracks HALF
+    # the candidate budget (a fixed cut made recall DECREASE with
+    # search_k at 1M x 768: the sign-score top-2048 converges to a
+    # fixed set while the pool grows — crossover_r03) with the
+    # reference's 3x BQ oversampling constant as the floor
+    # (reference: src/distance/binary_quantized_cosine.rs:36).  Binary
+    # METRICS are different: their in-block popcount ranking is exact,
+    # so they take the plain f32-style cut.
+    estimate = dtype == "bq" and not idx.metric.binary
+    over = 3 if estimate else 1
     floor = max(32 * k * over, 512 * over)
-    if dtype == "bq":
+    if estimate:
         floor = max(floor, int(search_k) // 2)
     k2 = min(_next_pow2(floor), T * L * P)
-    scale = 2 if idx.metric.name in ("euclidean", "manhattan") else 1
+    scale = (
+        2
+        if (not idx.metric.binary and idx.metric.name in ("euclidean", "manhattan"))
+        or idx.metric.name
+        in ("binary quantized euclidean", "binary quantized manhattan")
+        else 1
+    )
 
     def fn(qv, qn, qe, qf):
         return _probe_impl(
@@ -612,6 +738,7 @@ def make_probe_fn(
             tabs.blk_rows, tabs.blk_aux, tabs.blk_slots, tabs.blk_scale,
             idx.rows, idx.norms, idx.extras, idx.slot_to_id,
             qv, qn, qe,
+            fwords=fwords, has_filter=has_filter,
         )
 
     return fn

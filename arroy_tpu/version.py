@@ -29,12 +29,21 @@ class Version:
 #: either in plain ``*.npy`` files or in a ``state.atc`` container.
 V1_0_0 = Version(1, 0, 0)
 
-#: Version written by the current writer.  Independent of the reference's
-#: crate version.  1.1.0 declares the native container (`state.atc`,
-#: CRC-checked) the only store; v1.0.0 npy generations are migrated by
+#: 1.1.0 declared the native container (`state.atc`, CRC-checked) the
+#: only store; v1.0.0 npy generations are migrated by
 #: `upgrade.upgrade_index` (the reference's step chain role,
 #: src/upgrade.rs:26,150,183).
-CURRENT_VERSION = Version(1, 1, 0)
+V1_1_0 = Version(1, 1, 0)
+
+#: Version written by the current writer.  Independent of the reference's
+#: crate version.  1.2.0 forbids KIND_SPLIT nodes whose stored normal row
+#: is all-zero: such nodes are semantically `normal: None` (a random-side
+#: split) and must be stored as KIND_SPLIT_NONE with no normal row — the
+#: exact analog of the reference's 0.6→0.7 zero-normal surgery
+#: (reference: src/upgrade.rs:249-258, src/node.rs zero-normal legacy).
+#: `upgrade.upgrade_index` transforms offending nodes and repacks the
+#: normals matrix.
+CURRENT_VERSION = Version(1, 2, 0)
 
 #: Formats older than this never existed for arroy-tpu; kept for the
 #: upgrade-machinery parity with `before_version_db_was_introduced`

@@ -44,6 +44,14 @@ from .utils.itemset import ItemSet
 from .version import CURRENT_VERSION
 
 
+def _never_cancel() -> bool:
+    """Default no-op cancel.  A named sentinel (not a bare lambda) so the
+    build engine can tell "no callback registered" apart from a real one
+    and bound fused-group wall time only when cancellation matters
+    (builder._CANCEL_BOUND_S; reference poll sites: src/writer.rs:117-124)."""
+    return False
+
+
 @dataclass
 class BuildOptions:
     """Reference `BuildOption` (src/writer.rs:96-114)."""
@@ -51,7 +59,7 @@ class BuildOptions:
     n_trees: Optional[int] = None
     split_after: Optional[int] = None
     available_memory: Optional[int] = None
-    cancel: CancelFn = lambda: False
+    cancel: CancelFn = _never_cancel
     progress: ProgressFn = lambda p: None
     seed: int = 42
     #: jax.sharding.Mesh: grow the forest with the per-level compute
@@ -427,6 +435,7 @@ class Writer:
             forest=forest,
             alloc=alloc,
             cancel=opt.cancel,
+            cancel_active=opt.cancel is not _never_cancel,
             budget_items=budget_items,
             rows_np=st.store.rows() if streaming else None,
             extras_np=st.store.extras() if streaming else None,

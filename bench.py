@@ -146,6 +146,7 @@ def _measure_chain(searcher, dqs, iters, batch):
     (callers fall back to the dispatch-loop `_measure` figure)."""
     import jax
     import jax.numpy as jnp
+    from jax import core as jcore
 
     if iters < 4 or _measure_chain._dead:
         return None
@@ -155,17 +156,24 @@ def _measure_chain(searcher, dqs, iters, batch):
             for j in range(len(dqs[0]))
         )
 
-        # closure_convert lifts the searcher's captured corpus tables
-        # out of the trace and into explicit call arguments — baked-in
-        # constants blow the remote-compile relay's request-size limit
-        # (HTTP 413 on the multi-hundred-MB HLO proto)
-        closed, consts = jax.closure_convert(
-            lambda *xs: searcher.device_fn(*xs), *dqs[0]
+        # Hoist EVERY captured corpus table out of the trace and into
+        # explicit call arguments, whatever its dtype: baked-in constants
+        # blow the remote-compile relay's request-size limit (HTTP 413 on
+        # the multi-hundred-MB HLO proto).  jax.closure_convert only
+        # hoists inexact (float) constants — the uint32 slot/id maps, the
+        # bool live mask and the int8/packed quantized tables stayed
+        # baked and sank every r4 arm — so hoist via make_jaxpr instead,
+        # whose consts list carries ALL array constants.
+        closed_jaxpr = jax.make_jaxpr(lambda *xs: searcher.device_fn(*xs))(
+            *dqs[0]
         )
+        consts = closed_jaxpr.consts
 
         def chain(consts, *st):
             def body(c, xs):
-                out = closed(xs[0] + 0.0 * c, *xs[1:], *consts)
+                out = jcore.eval_jaxpr(
+                    closed_jaxpr.jaxpr, consts, xs[0] + 0.0 * c, *xs[1:]
+                )
                 # ids (uint32) — dists may be NaN, which would poison c
                 return c + jnp.sum(out[0][:1, :1]).astype(jnp.float32), ()
 
@@ -285,19 +293,24 @@ def main():
     # Rust never pays it per build — and the cold figure here is mostly
     # the remote-compile relay (1-15 min of queue, see CLAUDE.md).
     warm_build_s = 0.0
+    warm_builds: list[float] = []
     if not cpu_fallback:
         try:
             w = Writer(db, 0, D, metric="euclidean")
             # two rebuilds when the index was reused: in a fresh process
             # the first one still pays the device-mirror upload + the
-            # build-step compiles; the second is the true steady state
+            # build-step compiles; the second is the true steady state.
+            # BOTH are reported (build_warm1_s / build_warm2_s) so the
+            # record shows the process-warmth spread instead of a silent
+            # min — VERDICT r4 weak #4.
             for j in range(2 if have else 1):
                 with db.write() as wtxn:
                     w.add_items(wtxn, np.arange(M, dtype=np.uint32), x)
                     t0 = time.perf_counter()
                     w.builder(seed=43 + j).n_trees(N_TREES).build(wtxn)
                     dt = time.perf_counter() - t0
-                warm_build_s = dt if warm_build_s == 0 else min(warm_build_s, dt)
+                warm_builds.append(dt)
+                warm_build_s = dt  # the LAST rebuild = steady state
                 log(f"warm rebuild: {dt:.2f}s")
         except Exception as e:  # keep the serving arms alive regardless
             log(f"warm rebuild unavailable ({type(e).__name__}: {e})")
@@ -425,11 +438,19 @@ def main():
                 # remote-compile relay here); 0.0 = persisted index reused
                 "build_cold_s": round(build_s, 2),
                 # steady-state full-forest rebuild, compiled steps warm —
-                # the figure comparable to the AOT-compiled CPU baseline
+                # the figure comparable to the AOT-compiled CPU baseline.
+                # build_s = the second (steady-state) rebuild; the first
+                # rebuild (process-cold: mirror upload + step compiles)
+                # is reported alongside so warmth can't be cherry-picked.
                 "build_s": round(warm_build_s or build_s, 2),
+                "build_warm1_s": round(warm_builds[0], 2) if warm_builds else 0.0,
+                "build_warm2_s": round(warm_builds[1], 2)
+                if len(warm_builds) > 1
+                else 0.0,
                 # >1 = this build is faster than the estimated multi-core
                 # CPU-arroy build of the same index (BASELINE_CPU.json
-                # build_derivation)
+                # build_derivation); the numerator is build_s = the
+                # steady-state rebuild (build_warm2_s when two ran)
                 "build_vs_baseline": round(
                     _baseline("cpu_arroy_build_s", 15.0)
                     / (warm_build_s or build_s),

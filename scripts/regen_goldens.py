@@ -15,7 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
 
-from tests.test_golden import GOLDEN_METRICS, build_golden, build_incremental_golden, slug
+from tests.test_golden import (
+    GOLDEN_METRICS,
+    GOLDEN_SCENARIOS,
+    build_golden,
+    build_incremental_golden,
+    slug,
+)
 
 SNAP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "snapshots")
 
@@ -30,6 +36,11 @@ def main():
     with open(path, "w") as fh:
         fh.write(build_incremental_golden())
     print("wrote", path)
+    for scenario, fn in sorted(GOLDEN_SCENARIOS.items()):
+        path = os.path.join(SNAP_DIR, f"golden_{scenario}.txt")
+        with open(path, "w") as fh:
+            fh.write(fn())
+        print("wrote", path)
 
 
 if __name__ == "__main__":

@@ -112,6 +112,84 @@ def build_incremental_golden() -> str:
     return dump_index(r)
 
 
+def build_budget_golden() -> str:
+    """Pinned low-memory (budget/streaming) build: available_memory
+    small enough to force the sample-skeleton + batched-routing path
+    (the reference pins the same scenario via available_memory(0),
+    src/tests/writer.rs:1377-1403)."""
+    from arroy_tpu import Database, Writer
+
+    x = random_vectors(96, 8, seed=31)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        w.add_items(wtxn, np.arange(96, dtype=np.uint32), x)
+        # 32 items' worth of budget over a 96-item corpus: streaming on
+        w.builder(seed=64).n_trees(2).available_memory(32 * 8 * 4).build(wtxn)
+    return dump_index(Reader.open(db.read(), 0, db))
+
+
+def build_mesh_golden() -> str:
+    """Pinned mesh-sharded build on the 8-virtual-device CPU mesh.
+    Mesh-size invariance is tested separately (test_sharded_build); the
+    committed dump additionally pins the mesh build stream itself
+    across rounds."""
+    from arroy_tpu import Database, Writer
+    from arroy_tpu.parallel.mesh import make_mesh
+
+    x = random_vectors(96, 8, seed=31)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        w.add_items(wtxn, np.arange(96, dtype=np.uint32), x)
+        w.builder(seed=64).n_trees(2).split_after(8).mesh(make_mesh(8)).build(wtxn)
+    return dump_index(Reader.open(db.read(), 0, db))
+
+
+def build_multi_index_golden() -> str:
+    """Pinned two-indexes-one-database build (the reference's u16
+    multi-index scenarios, src/tests/writer.rs:760-820): the dump pins
+    both forests AND the id-namespace separation."""
+    from arroy_tpu import Database, Writer
+
+    x = random_vectors(64, 8, seed=31)
+    y = random_vectors(48, 4, seed=32)
+    db = Database()
+    w0 = Writer(db, 0, 8)
+    w1 = Writer(db, 1, 4, metric="cosine")
+    with db.write() as wtxn:
+        w0.add_items(wtxn, np.arange(64, dtype=np.uint32), x)
+        w1.add_items(wtxn, np.arange(48, dtype=np.uint32), y)
+        w0.builder(seed=64).n_trees(2).build(wtxn)
+        w1.builder(seed=65).n_trees(2).build(wtxn)
+    rtxn = db.read()
+    return "\n---\n".join(
+        dump_index(Reader.open(rtxn, i, db, metric=m))
+        for i, m in ((0, "euclidean"), (1, "cosine"))
+    )
+
+
+def build_delete_collapse_golden() -> str:
+    """Pinned mass-delete scenario: dropping 3/4 of the corpus forces
+    the delete-with-collapse path (searchsorted mass delete + single
+    -child splice) instead of a rebuild (the reference's deletion
+    snapshots, src/tests/writer.rs:822-1015)."""
+    from arroy_tpu import Database, Writer
+
+    x = random_vectors(128, 8, seed=31)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        w.add_items(wtxn, np.arange(128, dtype=np.uint32), x)
+        w.builder(seed=64).n_trees(2).build(wtxn)
+    with db.write() as wtxn:
+        for item in range(128):
+            if item % 4:  # keep every 4th item
+                w.del_item(wtxn, item)
+        w.builder(seed=64).n_trees(2).build(wtxn)
+    return dump_index(Reader.open(db.read(), 0, db))
+
+
 def _snap_path(name: str) -> str:
     import os
 
@@ -133,3 +211,23 @@ def test_committed_golden_snapshot(metric):
 def test_committed_golden_incremental():
     got = build_incremental_golden()
     assert got == open(_snap_path("golden_incremental.txt")).read()
+
+
+GOLDEN_SCENARIOS = {
+    "budget": build_budget_golden,
+    "mesh": build_mesh_golden,
+    "multi_index": build_multi_index_golden,
+    "delete_collapse": build_delete_collapse_golden,
+}
+
+
+@pytest.mark.parametrize("scenario", sorted(GOLDEN_SCENARIOS), ids=str)
+def test_committed_golden_scenario(scenario):
+    """Pinned builds for the non-vanilla writer paths: budget/streaming,
+    mesh-sharded, multi-index, delete-with-collapse (the breadth of the
+    reference's ~34 pinned writer scenarios, src/tests/writer.rs:296-1015).
+
+    Regenerate DELIBERATELY with `python scripts/regen_goldens.py`.
+    """
+    got = GOLDEN_SCENARIOS[scenario]()
+    assert got == open(_snap_path(f"golden_{scenario}.txt")).read()

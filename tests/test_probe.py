@@ -107,19 +107,114 @@ def test_probe_tiny_corpus_and_few_trees():
         assert set(i for i, _ in g) == set(i for i, _ in e)
 
 
-def test_probe_bq_metric_falls_back():
+@pytest.mark.parametrize(
+    "metric",
+    [
+        "binary quantized euclidean",
+        "binary quantized manhattan",
+        "binary quantized cosine",
+    ],
+)
+def test_probe_bq_metric_native(metric):
+    # binary-quantized metrics serve the probe natively (r5): packed
+    # word blocks, XOR-popcount in-block ranking (ranking-exact), exact
+    # popcount re-score.  Recall parity vs the strict traversal at the
+    # same budget.
     rng = np.random.default_rng(5)
-    x = rng.standard_normal((500, 32)).astype(np.float32)
+    m, dims = 2000, 64
+    x = rng.standard_normal((m, dims)).astype(np.float32)
     db = Database()
-    w = Writer(db, 0, 32, metric="binary quantized cosine")
+    w = Writer(db, 0, dims, metric=metric)
     with db.write() as t:
-        w.add_items(t, np.arange(500, dtype=np.uint32), x)
-        w.builder(seed=5).n_trees(4).build(t)
-    r = Reader.open(db.read(), 0, db, metric="binary quantized cosine")
-    # probe unsupported for BQ: traversal_mode resolves to the XLA loop
-    s = r.searcher(10, search_k=500, engine="forest", traversal="probe")
-    out = s(x[:4])
-    assert all(len(row) == 10 for row in out)
+        w.add_items(t, np.arange(m, dtype=np.uint32), x)
+        w.builder(seed=5).n_trees(6).build(t)
+    r = Reader.open(db.read(), 0, db, metric=metric)
+    q = x[:32]
+    exact = r.exact_by_vectors(q, 10)
+    ex = [set(i for i, _ in row) for row in exact]
+    sp = r.searcher(10, search_k=1200, engine="forest", traversal="probe",
+                    probe_trees=4, probe_block=16)
+    st = r.searcher(10, search_k=1200, engine="forest", traversal="xla")
+    rec_p = np.mean(
+        [len(set(i for i, _ in g) & e) / 10 for g, e in zip(sp(q), ex)]
+    )
+    rec_t = np.mean(
+        [len(set(i for i, _ in g) & e) / 10 for g, e in zip(st(q), ex)]
+    )
+    assert rec_p >= rec_t - 0.05, (metric, rec_p, rec_t)
+    assert rec_p >= 0.8, (metric, rec_p)
+
+
+def test_probe_bq_metric_distances_exact():
+    # probe-served BQ distances must match the reference popcount
+    # formulas (the exact oracle), not the in-block estimates
+    rng = np.random.default_rng(6)
+    m, dims = 800, 64
+    x = rng.standard_normal((m, dims)).astype(np.float32)
+    db = Database()
+    w = Writer(db, 0, dims, metric="binary quantized euclidean")
+    with db.write() as t:
+        w.add_items(t, np.arange(m, dtype=np.uint32), x)
+        w.builder(seed=6).n_trees(4).build(t)
+    r = Reader.open(db.read(), 0, db, metric="binary quantized euclidean")
+    q = x[:8]
+    s = r.searcher(5, search_k=800, engine="forest", traversal="probe",
+                   probe_trees=4, probe_block=16)
+    exact = {
+        (qi, i): d
+        for qi, row in enumerate(r.exact_by_vectors(q, m))
+        for i, d in row
+    }
+    for qi, row in enumerate(s(q)):
+        for i, d in row:
+            assert abs(d - exact[(qi, i)]) < 1e-4
+
+
+def test_probe_filtered_only_candidates():
+    # filtered probe: every returned id is in the candidate set
+    db, r, q = _build(m=3000)
+    cand = np.arange(0, 3000, 3, dtype=np.uint32)  # 1/3 selectivity
+    s = r.searcher(10, search_k=1200, engine="forest", traversal="probe",
+                   probe_trees=4, probe_block=16, candidates=cand)
+    allowed = set(int(i) for i in cand)
+    for row in s(q):
+        assert row, "filtered probe returned nothing"
+        for i, _ in row:
+            assert i in allowed
+
+
+def test_probe_filtered_recall_parity_vs_traversal():
+    # recall parity vs the strict filtered traversal at the same budget
+    # (the filtered budget scales with 1/selectivity in both engines)
+    db, r, q = _build(m=3000)
+    cand = np.arange(0, 3000, 4, dtype=np.uint32)
+    # exact filtered oracle: brute force over the candidate set
+    st = r.searcher(10, search_k=1500, engine="exact", candidates=cand)
+    ex = [set(i for i, _ in row) for row in st(q)]
+    sp = r.searcher(10, search_k=1500, engine="forest", traversal="probe",
+                    probe_trees=4, probe_block=16, candidates=cand)
+    sx = r.searcher(10, search_k=1500, engine="forest", traversal="xla",
+                    candidates=cand)
+    rec_p = np.mean(
+        [len(set(i for i, _ in g) & e) / 10 for g, e in zip(sp(q), ex)]
+    )
+    rec_x = np.mean(
+        [len(set(i for i, _ in g) & e) / 10 for g, e in zip(sx(q), ex)]
+    )
+    assert rec_p >= rec_x - 0.05, (rec_p, rec_x)
+    assert rec_p >= 0.85, rec_p
+
+
+def test_probe_filtered_tiny_pool_exact():
+    # pool <= search_k short-circuits to the full re-score (same
+    # contract as the traversal's small-filter shortcut): exact results
+    db, r, q = _build(m=3000)
+    cand = np.asarray([5, 17, 99, 1234, 2999], dtype=np.uint32)
+    s = r.searcher(3, search_k=1000, engine="forest", traversal="probe",
+                   candidates=cand)
+    st = r.searcher(3, search_k=1000, engine="exact", candidates=cand)
+    for a, b in zip(s(q), st(q)):
+        assert [i for i, _ in a] == [i for i, _ in b]
 
 
 @pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot-product"])
