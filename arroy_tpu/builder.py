@@ -64,6 +64,12 @@ _clock = time.perf_counter
 _dispatch_count = 0
 
 
+#: lane-frame floor below which active-lane compaction stops bothering:
+#: a compaction costs ~one extra level-dispatch at the old frame size
+#: plus one compile per new rung, so it only pays while frames are large
+_COMPACT_MIN_LANES = int(os.environ.get("ARROY_COMPACT_MIN_LANES", 1 << 18))
+
+
 def _margin_chunk(p_cap: int, sd: int, attempts: int = 1) -> int:
     """Largest pow2 chunk (≥ _MARGIN_CHUNK, ≤ p_cap) within the budget."""
     budget = _MARGIN_CHUNK_BYTES // max((attempts + 1) * sd * 4, 1)
@@ -644,6 +650,82 @@ def _grow_group(
     return carry, outs
 
 
+def _writeback_leaves(ctx, slot_to_id, vals_np, spans) -> None:
+    """Bulk leaf write-back: `spans` is a list of (node_id, start, end)
+    whose lanes, concatenated in ascending-start order, are exactly
+    `vals_np` (row indices).  One lexsort over all lanes replaces the
+    per-leaf Python loop."""
+    if not spans:
+        return
+    nids = np.fromiter((p[0] for p in spans), np.int64, len(spans))
+    starts = np.fromiter((p[1] for p in spans), np.int64, len(spans))
+    ends = np.fromiter((p[2] for p in spans), np.int64, len(spans))
+    order = np.argsort(starts, kind="stable")
+    nids = nids[order]
+    lens = (ends - starts)[order]
+    assert int(lens.sum()) == len(vals_np), "leaf spans must tile the flushed lanes"
+    ids_all = slot_to_id[vals_np].astype(np.uint32)
+    span_of = np.repeat(np.arange(len(nids), dtype=np.int64), lens)
+    sorted_ids = ids_all[np.lexsort((ids_all, span_of))]
+    pieces = np.split(sorted_ids, np.cumsum(lens)[:-1])
+    ctx.forest.put_leaves(nids, pieces)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad2", "settled_pad"))
+def _compact_lanes(perm, ss_c, sl_c, off_c, old_end, p_pad2, settled_pad):
+    """Compact the ACTIVE (still-splitting) lanes of `perm` to the front
+    of a fresh, smaller lane frame, and gather the settled lanes (in
+    ascending old-frame order) for the host leaf flush.
+
+    Late build levels are dominated by dead weight: every per-level op
+    (margin pass, cumsum counts, partition scatter) runs over the FULL
+    [p_pad] frame, but once a segment stops splitting its lanes never
+    move again.  Shrinking the frame as lanes settle makes per-level
+    cost track the ACTIVE lane count instead of the total (the
+    reference's recursion gets this for free — each recursive call only
+    sees its own subset, src/writer.rs:1167-1261).
+
+    `ss_c`/`sl_c`/`off_c` are the active segments' old starts, lengths
+    and new (exclusive-cumsum) starts, ascending, padded to a small
+    rung with start=old_end/len=0 so padding lanes resolve harmlessly.
+    Returns (new_perm [p_pad2], settled_vals [settled_pad]) — settled
+    lanes beyond their true count are junk and sliced off by the host.
+    """
+    p_old = perm.shape[0]
+    r_c = ss_c.shape[0]
+    # new-frame lane -> compact segment (same mark/cumsum trick as
+    # _level_core's item_seg: off_c is sorted; padding segments carry
+    # off = p_pad2 so they never mark)
+    mark = jnp.zeros(p_pad2 + 1, jnp.int32).at[
+        jnp.minimum(off_c, p_pad2)
+    ].add(1, mode="drop")
+    lane_seg = jnp.clip(
+        jnp.cumsum(mark[:p_pad2]) - 1, 0, r_c - 1
+    ).astype(jnp.int32)
+    iota2 = jnp.arange(p_pad2, dtype=jnp.int32)
+    gidx = ss_c[lane_seg] + (iota2 - off_c[lane_seg])
+    new_perm = perm[jnp.clip(gidx, 0, p_old - 1)]
+
+    # settled lanes ascending: interval-mark the active spans, invert
+    am = (
+        jnp.zeros(p_old + 1, jnp.int32)
+        .at[jnp.minimum(ss_c, p_old)]
+        .add(jnp.where(sl_c > 0, 1, 0), mode="drop")
+        .at[jnp.minimum(ss_c + sl_c, p_old)]
+        .add(jnp.where(sl_c > 0, -1, 0), mode="drop")
+    )
+    iota = jnp.arange(p_old, dtype=jnp.int32)
+    settled = (jnp.cumsum(am[:p_old]) == 0) & (iota < old_end)
+    exs = jnp.cumsum(settled.astype(jnp.int32)) - settled
+    sidx = (
+        jnp.zeros(settled_pad, jnp.int32)
+        .at[jnp.where(settled, exs, settled_pad)]
+        .set(iota, mode="drop")
+    )
+    settled_vals = perm[sidx]
+    return new_perm, settled_vals
+
+
 # ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
@@ -880,6 +962,10 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
     seg_split = seg_len > ctx.split_after
 
     pending_leaves: list[tuple[int, int, int]] = []  # (node_id, start, end)
+    #: (device settled-lane gather, spans, true count) from lane
+    #: compactions, drained after the NEXT group's dispatch so the
+    #: device->host copy rides under device compute
+    deferred_flush: list = []
     for g in range(len(seg_len)):
         if not seg_split[g]:
             pending_leaves.append((int(seg_node[g]), int(seg_start[g]), int(seg_start[g] + seg_len[g])))
@@ -1037,6 +1123,17 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             _t2 = _time.perf_counter()
             _tt["sync"] += _t2 - _t1
 
+        # drain compaction leaf flushes now that this group's outputs
+        # landed: the async settled-lane copy has long since finished
+        if deferred_flush:
+            _tf0 = _time.perf_counter() if _timing else 0.0
+            while deferred_flush:
+                vals_dev, spans, tot = deferred_flush.pop(0)
+                _writeback_leaves(ctx, slot_to_id, np.asarray(vals_dev)[:tot], spans)
+            if _timing:
+                _t2 = _time.perf_counter()
+                _tt["flush"] = _tt.get("flush", 0.0) + _t2 - _tf0
+
         # host replay: bookkeeping for each fused level from its compact
         # row (ascending global split ids == compact order).  Ordering,
         # allocation sequence, pending-leaf content, and staged-row order
@@ -1157,39 +1254,109 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         if _timing:
             _tt["stage"] += _time.perf_counter() - _t3
 
-    # bulk leaf write-back: the pending spans tile [0, data_end) exactly
-    # (every item settles in one leaf), so one gather + one lexsort
-    # replaces the per-leaf Python loop (~590k iterations at 1.18M x 25)
+        # --- active-lane compaction (see _compact_lanes) ----------------
+        # Per-level cost scales with the lane/segment frame sizes, but
+        # settled segments are dead weight: once the ACTIVE lanes fit a
+        # frame half the size (and frames are big enough for the extra
+        # dispatch+compile to pay), rebase onto a compacted frame and
+        # flush the settled leaves early (async pull overlapped with the
+        # next group's dispatch).  NOTE: the frame layout feeds the
+        # per-level threefry lanes (fallback bernoulli) and the compact
+        # segment ids, so compacted builds are a DIFFERENT (equally
+        # valid) deterministic stream than uncompacted ones — goldens
+        # pin the default; tests force tiny thresholds explicitly.
+        act_total = int(seg_len[seg_split].sum()) if seg_split.any() else 0
+        if (
+            act_total
+            and p_pad >= 2 * _COMPACT_MIN_LANES
+            and max(_next_pow2(act_total), chunk) <= p_pad // 2
+        ):
+            _tc0 = _time.perf_counter() if _timing else 0.0
+            act = np.nonzero(seg_split)[0]
+            ss_act = seg_start[act].astype(np.int64)
+            sl_act = seg_len[act].astype(np.int64)
+            n_act = len(act)
+            off_act = np.concatenate([[0], np.cumsum(sl_act)[:-1]])
+            new_end = int(sl_act.sum())
+            p_pad2 = max(chunk, _next_pow2(new_end))
+            settled_total = data_end - new_end
+            flush_spans = pending_leaves
+            pending_leaves = []
+            assert (
+                sum(e - s for _, s, e in flush_spans) == settled_total
+            ), "settled lanes must be exactly the pending leaf spans"
+            r_c = max(_next_pow2(n_act), 256)
+            ss_pad = np.full(r_c, data_end, np.int32)
+            sl_pad = np.zeros(r_c, np.int32)
+            off_pad = np.full(r_c, p_pad2, np.int32)
+            ss_pad[:n_act] = ss_act
+            sl_pad[:n_act] = sl_act
+            off_pad[:n_act] = off_act
+            settled_pad = max(_next_pow2(max(settled_total, 1)), 256)
+            perm, settled_vals = _compact_lanes(
+                perm,
+                jnp.asarray(ss_pad),
+                jnp.asarray(sl_pad),
+                jnp.asarray(off_pad),
+                jnp.int32(data_end),
+                p_pad2=p_pad2,
+                settled_pad=settled_pad,
+            )
+            if flush_spans:  # zero-LENGTH spans still need their leaf rows
+                settled_vals.copy_to_host_async()
+                deferred_flush.append((settled_vals, flush_spans, settled_total))
+            # host frontier moves to the compacted frame
+            seg_start = off_act.astype(np.int32)
+            seg_len = sl_act.astype(np.int32)
+            seg_node = seg_node[act]
+            seg_split = np.ones(n_act, bool)
+            data_end = new_end
+            data_end_d = jnp.int32(new_end)
+            p_pad = p_pad2
+            g_cap = max(
+                256,
+                _next_pow2(4 * new_end // max(ctx.split_after, 1) + n_act + 64),
+            )
+            ss_d = None  # re-upload the frontier at the new (smaller) g_cap
+            if _timing:
+                _tt["compact"] = (
+                    _tt.get("compact", 0.0) + _time.perf_counter() - _tc0
+                )
+
+    # drain any leaf flush still in flight from a lane compaction
+    if deferred_flush:
+        _tf0 = _time.perf_counter() if _timing else 0.0
+        while deferred_flush:
+            vals_dev, spans, total = deferred_flush.pop(0)
+            _writeback_leaves(ctx, slot_to_id, np.asarray(vals_dev)[:total], spans)
+        if _timing:
+            _tt["flush"] = _tt.get("flush", 0.0) + _time.perf_counter() - _tf0
+
+    # bulk leaf write-back: the remaining pending spans tile
+    # [0, data_end) of the CURRENT frame exactly (every live lane
+    # settles in one leaf), so one gather + one lexsort replaces the
+    # per-leaf Python loop (~590k iterations at 1.18M x 25)
     if pending_leaves:
         _tw0 = _time.perf_counter() if _timing else 0.0
+        ends_max = max(e for _, _, e in pending_leaves)
         perm_final = np.asarray(perm)
         if _timing:
             _tw1 = _time.perf_counter()
             _tt["wb_pull"] = _tw1 - _tw0
-        nids = np.fromiter((p[0] for p in pending_leaves), np.int64, len(pending_leaves))
-        starts = np.fromiter((p[1] for p in pending_leaves), np.int64, len(pending_leaves))
-        ends = np.fromiter((p[2] for p in pending_leaves), np.int64, len(pending_leaves))
-        order = np.argsort(starts, kind="stable")
-        nids, starts, ends = nids[order], starts[order], ends[order]
-        lens = ends - starts
-        assert len(starts) == 0 or (
-            starts[0] == 0 and np.all(starts[1:] == ends[:-1])
-        ), "pending leaf spans must tile the permutation"
-        ids_all = slot_to_id[perm_final[: int(ends[-1]) if len(ends) else 0]].astype(
-            np.uint32
+        starts_chk = np.sort(
+            np.fromiter((p[1] for p in pending_leaves), np.int64, len(pending_leaves))
         )
-        span_of = np.repeat(np.arange(len(nids), dtype=np.int64), lens)
+        ends_chk = np.sort(
+            np.fromiter((p[2] for p in pending_leaves), np.int64, len(pending_leaves))
+        )
+        assert starts_chk[0] == 0 and np.all(
+            starts_chk[1:] == ends_chk[:-1]
+        ), "pending leaf spans must tile the permutation"
+        _writeback_leaves(
+            ctx, slot_to_id, perm_final[: int(ends_max)], pending_leaves
+        )
         if _timing:
-            _tw2 = _time.perf_counter()
-            _tt["wb_gather"] = _tw2 - _tw1
-        sorted_ids = ids_all[np.lexsort((ids_all, span_of))]
-        if _timing:
-            _tw3 = _time.perf_counter()
-            _tt["wb_sort"] = _tw3 - _tw2
-        pieces = np.split(sorted_ids, np.cumsum(lens)[:-1])
-        ctx.forest.put_leaves(nids, pieces)
-        if _timing:
-            _tt["wb_put"] = _time.perf_counter() - _tw3
+            _tt["wb_flush"] = _time.perf_counter() - _tw1
 
     if _timing:
         import sys as _sys
@@ -1202,6 +1369,8 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             f"p_pad={p_pad}]: dispatch {_tt['dispatch']:.1f}s  "
             f"sync {_tt['sync']:.1f}s  stage {_tt['stage']:.1f}s  "
             f"host {_tt['host']:.1f}s  "
+            f"compact {_tt.get('compact', 0.0):.1f}s  "
+            f"flush {_tt.get('flush', 0.0):.1f}s  "
             f"leafwb {_tot - sum(_tt.values()) - sum(_wb.values()):.1f}s"
             + "".join(f"  {k} {v:.1f}s" for k, v in sorted(_wb.items()))
             + f"  attempts {_att:.0f}/{max(level, 1)} levels",

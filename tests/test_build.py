@@ -116,6 +116,48 @@ def test_all_zero_vectors():
     assert len(got) == 3
 
 
+@pytest.mark.parametrize("corpus", ["gaussian", "duplicates"])
+def test_lane_compaction_valid_deterministic_complete(monkeypatch, corpus):
+    """Active-lane compaction (builder._compact_lanes): with thresholds
+    forced tiny the frame compacts repeatedly mid-build.  The compacted
+    build must stay valid, be run-to-run deterministic, put every item
+    in every tree exactly once, and keep recall.  The duplicates corpus
+    exercises random-fallback splits + zero-length leaf spans across
+    compaction flushes."""
+    import arroy_tpu.builder as builder_mod
+    from .test_golden import dump_index
+
+    monkeypatch.setattr(builder_mod, "_COMPACT_MIN_LANES", 512)
+    monkeypatch.setattr(builder_mod, "_MARGIN_CHUNK", 1024)
+
+    if corpus == "gaussian":
+        x = random_vectors(3000, 16, seed=31)
+    else:
+        x = np.tile(random_vectors(8, 16, seed=32), (300, 1))
+    _, _, r1 = build_db(x, n_trees=6, seed=33)
+    r1.assert_validity()
+    f = r1._state.forest
+    assert len(f.roots) == 6
+    for root in f.roots:
+        items = []
+        stack = [int(root)]
+        while stack:
+            nid = stack.pop()
+            if nid in f.leaves:
+                items.extend(int(i) for i in f.leaves[nid])
+            else:
+                stack.extend((int(f.left[nid]), int(f.right[nid])))
+        assert sorted(items) == list(range(len(x))), "tree lost/duped items"
+
+    _, _, r2 = build_db(x, n_trees=6, seed=33)
+    assert dump_index(r1) == dump_index(r2), "compacted build not deterministic"
+
+    if corpus == "gaussian":
+        got = r1.nns(10).search_k(10**6).by_vectors(x[:8])
+        exact = r1.exact_by_vectors(x[:8], 10)
+        assert recall(got, exact) > 0.95
+
+
 def test_grow_group_batching_keeps_trees_diverse(monkeypatch):
     """Seeds are grown in bounded groups (one grow pass per group); trees
     in different groups must still differ — a shared RNG key across
