@@ -1943,11 +1943,16 @@ def make_exact_fn(
 
     # fused Pallas select (ops/pallas_exact): scores every item without
     # materializing [B, M] — no HBM score round trips AND no streaming
-    # scan needed at any HBM-resident corpus size.  Gated to corpora
-    # large enough that per-block top-2 gives ≥ c candidates; falls back
-    # permanently to the unfused two-stage on any kernel failure.
+    # scan needed at any HBM-resident corpus size.  OPT-IN
+    # (ARROY_EXACT_FUSED=1): its select stage runs at 89.5% of bf16 peak,
+    # but END-TO-END the unfused two-stage wins at both precisions under
+    # the steady-state chain protocol at 100k x 768 — bf16 389k vs 314k
+    # qps, int8 535k vs 415k (results/fused_vs_unfused_r05.jsonl) — the
+    # pipeline is bound by the cut + re-score, not the select, so the
+    # measured-fastest path serves by default (r4 shipped fused as
+    # default against its own 0.87x artifact; VERDICT r4 #3).
     def _fused_ready(int8: bool) -> dict | None:
-        if os.environ.get("ARROY_EXACT_FUSED", "1") != "1":
+        if os.environ.get("ARROY_EXACT_FUSED", "0") != "1":
             return None
         from .ops.pallas_exact import DEFAULT_BM
 

@@ -158,6 +158,39 @@ def test_lane_compaction_valid_deterministic_complete(monkeypatch, corpus):
         assert recall(got, exact) > 0.95
 
 
+def test_lane_compaction_streaming_budget_build(monkeypatch):
+    """Compaction under the low-memory streaming path: perm holds LOCAL
+    batch indices there, so the flush must resolve ids through the
+    remapped slot map.  Budget 2048 items -> 2048-lane skeleton batches;
+    with the chunk floor at 512 the frame compacts once the active
+    lanes drop under 1024."""
+    import arroy_tpu.builder as builder_mod
+    from arroy_tpu import Database, Writer
+
+    monkeypatch.setattr(builder_mod, "_COMPACT_MIN_LANES", 512)
+    monkeypatch.setattr(builder_mod, "_MARGIN_CHUNK", 512)
+    x = random_vectors(3000, 8, seed=35)
+    db = Database()
+    w = Writer(db, 0, 8)
+    with db.write() as wtxn:
+        w.add_items(wtxn, np.arange(3000, dtype=np.uint32), x)
+        # budget ~2/3 of the corpus: skeleton-from-sample + batched routing
+        w.builder(seed=36).n_trees(3).available_memory(2048 * 8 * 4).build(wtxn)
+    r = Reader.open(db.read(), 0, db)
+    r.assert_validity()
+    f = r._state.forest
+    for root in f.roots:
+        items = []
+        stack = [int(root)]
+        while stack:
+            nid = stack.pop()
+            if nid in f.leaves:
+                items.extend(int(i) for i in f.leaves[nid])
+            else:
+                stack.extend((int(f.left[nid]), int(f.right[nid])))
+        assert sorted(items) == list(range(3000)), "tree lost/duped items"
+
+
 def test_grow_group_batching_keeps_trees_diverse(monkeypatch):
     """Seeds are grown in bounded groups (one grow pass per group); trees
     in different groups must still differ — a shared RNG key across
