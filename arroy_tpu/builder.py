@@ -90,6 +90,21 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+#: below this, compaction frame sizes round up to powers of FOUR: tail
+#: rungs are cheap to overshoot but each distinct shape is a fresh XLA
+#: compile through the remote relay, and exact pow2 rungs of the (seed-
+#: dependent) active count rarely repeat across rebuilds
+_POW4_BELOW = 1 << 21
+
+
+def _next_rung(n: int) -> int:
+    """pow2 rung, coarsened to pow4 below _POW4_BELOW (shape reuse)."""
+    p = _next_pow2(n)
+    if p < _POW4_BELOW and (p.bit_length() - 1) % 2:
+        p *= 2
+    return p
+
+
 def _sign_positive(x: jax.Array) -> jax.Array:
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
     return (bits >> 31) == 0
@@ -1269,7 +1284,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
         if (
             act_total
             and p_pad >= 2 * _COMPACT_MIN_LANES
-            and max(_next_pow2(act_total), chunk) <= p_pad // 2
+            and max(_next_rung(act_total), chunk) <= p_pad // 2
         ):
             _tc0 = _time.perf_counter() if _timing else 0.0
             act = np.nonzero(seg_split)[0]
@@ -1278,21 +1293,21 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             n_act = len(act)
             off_act = np.concatenate([[0], np.cumsum(sl_act)[:-1]])
             new_end = int(sl_act.sum())
-            p_pad2 = max(chunk, _next_pow2(new_end))
+            p_pad2 = max(chunk, _next_rung(new_end))
             settled_total = data_end - new_end
             flush_spans = pending_leaves
             pending_leaves = []
             assert (
                 sum(e - s for _, s, e in flush_spans) == settled_total
             ), "settled lanes must be exactly the pending leaf spans"
-            r_c = max(_next_pow2(n_act), 256)
+            r_c = max(_next_rung(n_act), 256)
             ss_pad = np.full(r_c, data_end, np.int32)
             sl_pad = np.zeros(r_c, np.int32)
             off_pad = np.full(r_c, p_pad2, np.int32)
             ss_pad[:n_act] = ss_act
             sl_pad[:n_act] = sl_act
             off_pad[:n_act] = off_act
-            settled_pad = max(_next_pow2(max(settled_total, 1)), 256)
+            settled_pad = max(_next_rung(max(settled_total, 1)), 256)
             perm, settled_vals = _compact_lanes(
                 perm,
                 jnp.asarray(ss_pad),
@@ -1315,7 +1330,7 @@ def grow_trees(ctx: BuildContext, seeds: list[tuple[int, np.ndarray]], key) -> N
             p_pad = p_pad2
             g_cap = max(
                 256,
-                _next_pow2(4 * new_end // max(ctx.split_after, 1) + n_act + 64),
+                _next_rung(4 * new_end // max(ctx.split_after, 1) + n_act + 64),
             )
             ss_d = None  # re-upload the frontier at the new (smaller) g_cap
             if _timing:
