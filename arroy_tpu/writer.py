@@ -139,6 +139,13 @@ def target_n_trees(
 #: grouping cost ~875 tunnel syncs, this costs ~40).
 _GROW_GROUP_SPLITS = 262_144
 _GROW_GROUP_ITEMS = 32 << 20
+#: cap on (padded lane frame x storage dim) per grow group: a
+#: 33.5M-lane frame at 1536-d (lanes x sd ~ 2^35.6) reproducibly
+#: faulted the TPU worker inside the fused level program (32-bit
+#: linear-index territory for fused intermediates), while 16.7M x 1536
+#: and 33.5M x 100 both run clean — so groups are sized to keep
+#: next_pow2(lanes) x sd at or under the proven 2^34.6 product
+_GROW_GROUP_LANE_DIM = 1 << 34
 
 
 def _swap_remove0(lst: list) -> object:
@@ -548,7 +555,11 @@ class Writer:
             # within a fixed device working set.  (The reference
             # naturally bounds this per rayon task, src/writer.rs:568-591.)
             cap = max(
-                min(_GROW_GROUP_SPLITS * ctx.split_after, _GROW_GROUP_ITEMS),
+                min(
+                    _GROW_GROUP_SPLITS * ctx.split_after,
+                    _GROW_GROUP_ITEMS,
+                    _GROW_GROUP_LANE_DIM // max(ctx._sd, 1),
+                ),
                 ctx.dims + 1,
             )
             groups: list[list] = [[]]
