@@ -1562,15 +1562,22 @@ _exact_f32_direct = functools.partial(
 
 
 def _exact_bf16_impl(
-    metric, dims, k, c, rows, rows_bf16, norms, extras, slot_to_id, live,
-    qv, qn, qe, qf,
+    metric, dims, k, c, cut_bf16, rows, rows_bf16, norms, extras,
+    slot_to_id, live, qv, qn, qe, qf,
 ):
     """Two-stage: bf16 MXU dots select `c` candidates per query
     (approx_max_k), then f32 re-score of the candidates and final top_k.
 
     bf16 keeps ~3 significant digits — more than enough to separate the
     top-k from rank-c — and runs the MXU at twice the f32 rate with half
-    the HBM read traffic."""
+    the HBM read traffic.
+
+    `cut_bf16` stores the [B, M] cut-score matrix in bf16: the pipeline
+    is bound by that matrix's HBM round trip (write after the matmul
+    epilogue, read by approx_max_k — ~1.6 GB at [2048, 100k] f32), so
+    halving its bytes is worth ~1 ms/batch; the bf16 rounding only
+    reorders candidates near rank c, which the exact f32 re-score of the
+    top-c washes out (same argument as int8 stage-1 quantization)."""
     name = metric.name
     dots = jax.lax.dot_general(
         qv.astype(jnp.bfloat16),
@@ -1587,6 +1594,8 @@ def _exact_bf16_impl(
     else:  # dot-product: query extra coordinate is 0, so score = dot
         score = dots
     score = jnp.where(live[None, :], score, -_INF)
+    if cut_bf16:
+        score = score.astype(jnp.bfloat16)
     _, cand = jax.lax.approx_max_k(score, c, recall_target=0.98)  # [B, c]
 
     # stage 2: exact f32 on the candidate set
@@ -1605,13 +1614,13 @@ def _exact_bf16_impl(
 
 
 _exact_bf16 = functools.partial(
-    jax.jit, static_argnames=("metric", "dims", "k", "c")
+    jax.jit, static_argnames=("metric", "dims", "k", "c", "cut_bf16")
 )(_exact_bf16_impl)
 
 
 def _exact_int8_impl(
-    metric, dims, k, c, rows, rows_i8, iscale, norms, extras, slot_to_id, live,
-    qv, qn, qe, qf,
+    metric, dims, k, c, cut_bf16, rows, rows_i8, iscale, norms, extras,
+    slot_to_id, live, qv, qn, qe, qf,
 ):
     """Two-stage int8: quantized MXU dots select `c` candidates, exact
     f32 re-score ranks them.
@@ -1640,6 +1649,8 @@ def _exact_int8_impl(
     else:  # dot-product: query extra coordinate is 0
         score = dots
     score = jnp.where(live[None, :], score, -_INF)
+    if cut_bf16:  # halve the [B, M] HBM round trip — see _exact_bf16_impl
+        score = score.astype(jnp.bfloat16)
     _, cand = jax.lax.approx_max_k(score, c, recall_target=0.95)
 
     x = rows[cand]
@@ -1657,7 +1668,7 @@ def _exact_int8_impl(
 
 
 _exact_int8 = functools.partial(
-    jax.jit, static_argnames=("metric", "dims", "k", "c")
+    jax.jit, static_argnames=("metric", "dims", "k", "c", "cut_bf16")
 )(_exact_int8_impl)
 
 
@@ -1940,6 +1951,12 @@ def make_exact_fn(
         if _c_env
         else max(min(_next_pow2(3 * k), idx.cap), 32)
     )
+    # cut-score dtype for the two-stage modes (ARROY_CUT_DTYPE): the
+    # [B, M] matrix's HBM round trip dominates the pipeline; storing it
+    # bf16 halves that traffic while the exact f32 re-score of the top-c
+    # keeps the final ranking exact.  Default = f32 until the bf16 cut
+    # is measured faster at equal recall on chip.
+    cut_bf16 = os.environ.get("ARROY_CUT_DTYPE", "f32") == "bf16"
 
     # fused Pallas select (ops/pallas_exact): scores every item without
     # materializing [B, M] — no HBM score round trips AND no streaming
@@ -2009,8 +2026,9 @@ def make_exact_fn(
             if "rows_bf16" not in lazy:  # cast once, on first unfused use
                 lazy["rows_bf16"] = idx.rows.astype(jnp.bfloat16)
             return _exact_bf16(
-                metric, idx.dims, int(k), int(c), idx.rows, lazy["rows_bf16"],
-                idx.norms, idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,
+                metric, idx.dims, int(k), int(c), cut_bf16, idx.rows,
+                lazy["rows_bf16"], idx.norms, idx.extras, idx.slot_to_id,
+                live, qv, qn, qe, qf,
             )
 
         return bf16_fn
@@ -2036,8 +2054,9 @@ def make_exact_fn(
                 lazy["i8"] = (rows_i8, iscale)
             rows_i8, iscale = lazy["i8"]
             return _exact_int8(
-                metric, idx.dims, int(k), int(c), idx.rows, rows_i8, iscale,
-                idx.norms, idx.extras, idx.slot_to_id, live, qv, qn, qe, qf,
+                metric, idx.dims, int(k), int(c), cut_bf16, idx.rows,
+                rows_i8, iscale, idx.norms, idx.extras, idx.slot_to_id,
+                live, qv, qn, qe, qf,
             )
 
         return int8_fn

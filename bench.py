@@ -391,23 +391,36 @@ def main():
                 log(f"forest recall below {TARGET_RECALL} - doubling search_k")
 
         # leaf-probe forest engine (the 262k+ auto path; measured here
-        # explicitly so the record carries a probe row at every config)
+        # explicitly so the record carries a probe row at every config).
+        # The probe tunes its OWN search_k with the same doubling policy
+        # as the traversal: its candidate budget translates differently
+        # (block-granular gathers vs best-first pops), so the forest's
+        # tuned point can overshoot the recall target 2-4x in candidates
+        # and understate the probe's honest >=target throughput.
         try:
-            s = r.searcher(
-                COUNT, search_k=search_k, engine="forest", traversal="probe"
-            )
-            dqs = [
-                s.prepare_queries(queries[i * BATCH : i * BATCH + fb])
-                for i in range(ITERS)
-            ]
-            qps, compile_s, out = _measure(s, dqs, ITERS, fb)
-            rec = _recall(out, exact_sets, min(fb, nq), COUNT)
-            log(f"probe[sk={search_k}]: {qps:.0f} qps  recall@{COUNT}={rec:.4f}")
-            sub["probe_qps"] = round(qps, 1)
-            sub["probe_recall"] = round(rec, 4)
-            if rec >= TARGET_RECALL and qps > best_qps:
-                best_qps, best_recall, best_compile = qps, rec, compile_s
-                best_mode = f"probe_sk{search_k}"
+            psk = SEARCH_K
+            for attempt in range(3):
+                s = r.searcher(
+                    COUNT, search_k=psk, engine="forest", traversal="probe"
+                )
+                dqs = [
+                    s.prepare_queries(queries[i * BATCH : i * BATCH + fb])
+                    for i in range(ITERS)
+                ]
+                qps, compile_s, out = _measure(s, dqs, ITERS, fb)
+                rec = _recall(out, exact_sets, min(fb, nq), COUNT)
+                log(f"probe[sk={psk}]: {qps:.0f} qps  recall@{COUNT}={rec:.4f}")
+                sub["probe_qps"] = round(qps, 1)
+                sub["probe_recall"] = round(rec, 4)
+                sub["probe_search_k"] = psk
+                if rec >= TARGET_RECALL:
+                    if qps > best_qps:
+                        best_qps, best_recall, best_compile = qps, rec, compile_s
+                        best_mode = f"probe_sk{psk}"
+                    break
+                if attempt < 2:
+                    psk *= 2
+                    log(f"probe recall below {TARGET_RECALL} - doubling search_k")
         except Exception as e:  # BQ metrics etc.
             log(f"probe engine skipped: {e}")
 
