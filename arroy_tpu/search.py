@@ -1954,9 +1954,18 @@ def make_exact_fn(
     # cut-score dtype for the two-stage modes (ARROY_CUT_DTYPE): the
     # [B, M] matrix's HBM round trip dominates the pipeline; storing it
     # bf16 halves that traffic while the exact f32 re-score of the top-c
-    # keeps the final ranking exact.  Default = f32 until the bf16 cut
-    # is measured faster at equal recall on chip.
-    cut_bf16 = os.environ.get("ARROY_CUT_DTYPE", "f32") == "bf16"
+    # keeps the final ranking exact.  Measured on chip at 100k x 768
+    # under the chain protocol (results/cut_dtype_r05.jsonl): the bf16
+    # cut WINS for the bf16 mode (402.1k vs 384.7k qps, recall identical
+    # 0.9977 — the f32->bf16 convert fuses into the matmul epilogue) but
+    # LOSES for int8 (502.2k vs 535.7k — the i32 matmul output must be
+    # scaled before the cast, so the convert is a separate elementwise
+    # pass that ADDS traffic).  Default follows the measurement
+    # per-precision; the env knob forces both modes either way.
+    _cut_env = os.environ.get("ARROY_CUT_DTYPE")
+
+    def _cut_bf16(default: bool) -> bool:
+        return _cut_env == "bf16" if _cut_env else default
 
     # fused Pallas select (ops/pallas_exact): scores every item without
     # materializing [B, M] — no HBM score round trips AND no streaming
@@ -2026,7 +2035,7 @@ def make_exact_fn(
             if "rows_bf16" not in lazy:  # cast once, on first unfused use
                 lazy["rows_bf16"] = idx.rows.astype(jnp.bfloat16)
             return _exact_bf16(
-                metric, idx.dims, int(k), int(c), cut_bf16, idx.rows,
+                metric, idx.dims, int(k), int(c), _cut_bf16(True), idx.rows,
                 lazy["rows_bf16"], idx.norms, idx.extras, idx.slot_to_id,
                 live, qv, qn, qe, qf,
             )
@@ -2054,7 +2063,7 @@ def make_exact_fn(
                 lazy["i8"] = (rows_i8, iscale)
             rows_i8, iscale = lazy["i8"]
             return _exact_int8(
-                metric, idx.dims, int(k), int(c), cut_bf16, idx.rows,
+                metric, idx.dims, int(k), int(c), _cut_bf16(False), idx.rows,
                 rows_i8, iscale, idx.norms, idx.extras, idx.slot_to_id,
                 live, qv, qn, qe, qf,
             )
