@@ -218,6 +218,25 @@ def test_bf16_resident_serving(monkeypatch):
     assert hits / 80 >= 0.9, hits / 80
 
 
+@pytest.mark.parametrize("precision", ["bf16", "int8"])
+@pytest.mark.parametrize("cut_dtype", ["f32", "bf16"])
+def test_exact_engine_cut_dtype_knob(monkeypatch, precision, cut_dtype):
+    """ARROY_CUT_DTYPE forces the [B, M] cut-score matrix dtype for the
+    two-stage modes (defaults are per-precision from the on-chip race,
+    results/cut_dtype_r05.jsonl); either setting must keep top-k recall
+    — bf16 rounding only reorders candidates near rank c, which the
+    exact f32 re-score of the top-c washes out."""
+    monkeypatch.setenv("ARROY_CUT_DTYPE", cut_dtype)
+    r, q = _build("euclidean", m=2000, d=64, seed=7)
+    oracle = r.exact_by_vectors(q, 10)
+    s = r.searcher(10, engine="exact", precision=precision)
+    got = s(q)
+    hits = sum(
+        len({i for i, _ in g} & {i for i, _ in o}) for g, o in zip(got, oracle)
+    )
+    assert hits / (len(q) * 10) >= 0.95
+
+
 @pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot-product"])
 def test_exact_engine_int8_precision(metric):
     """Two-stage int8 (quantized MXU dots + exact f32 re-score): top-k
